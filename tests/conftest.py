@@ -1,0 +1,20 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Note: this image's sitecustomize imports jax at interpreter startup (axon
+TPU plugin), so JAX_PLATFORMS env is already latched — use
+``jax.config.update`` instead, which works as long as no backend has been
+initialized yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
