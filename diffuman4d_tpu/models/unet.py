@@ -1,0 +1,212 @@
+"""The spatio-temporal multiview UNet (reference:
+src/diffusers/models/unets/unet_multiview_condition.py:49-598).
+
+SD2.1-shaped: conv_in -> 4 down blocks -> mid -> 4 up blocks -> conv_out,
+block_out_channels (320, 640, 1280, 1280), heads (5, 10, 20, 20), head dim
+64, one transformer layer per attention stage, GEGLU FF, linear projections.
+
+Novel conditioning, mirrored from the reference:
+  * only the deepest ``num_3d_attn_blocks`` attention stages run 3D
+    attention (down: len-i-1 < n at :560; up: i < n at :582; mid always)
+  * optional temporal embedding head, zero-init, fed per-frame indices:
+    zeros for the spatial domain ("time freezing"), arange(T/2).repeat(2)
+    for temporal ("time flowing") (:522-546). Here the caller passes the
+    index array directly (`tem_indices`) so the jitted graph has no
+    domain branching.
+  * optional PoseEncoder feature added to conv_in output (:549-554)
+
+TPU-first: channels-last, bf16 compute/fp32 params, fp32 norm stats,
+no Python data-dependent control flow — everything static per config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffuman4d_tpu.models.layers import TimestepEmbedding, GroupNorm, timestep_sinusoidal
+from diffuman4d_tpu.models.pose_encoder import PoseEncoder
+from diffuman4d_tpu.models.unet_blocks import (
+    CrossAttnDownBlockMultiview,
+    CrossAttnUpBlockMultiview,
+    DownBlock2D,
+    UNetMidBlockMultiviewCrossAttn,
+    UpBlock2D,
+)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Checkpoint-facing configuration (maps 1:1 onto the reference's
+    ``register_to_config`` fields that the shipped model exercises)."""
+
+    in_channels: int = 11  # latents 4 + plucker 6 + cond_mask 1 (pose enc on)
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # diffusers naming-bug compatibility: SD2.1 ships attention_head_dim =
+    # (5, 10, 20, 20) which actually means the head *count* per stage
+    num_attention_heads: tuple[int, ...] = (5, 10, 20, 20)
+    transformer_layers_per_block: int = 1
+    use_linear_projection: bool = True
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    freq_shift: float = 0.0
+    flip_sin_to_cos: bool = True
+    num_3d_attn_blocks: int = 3
+    enable_tem_embeds: bool = True
+    enable_pose_encoder: bool = True
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+class UNetMultiviewCondition(nn.Module):
+    config: UNetConfig = field(default_factory=UNetConfig)
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_implementation: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, in_channels) channels-last
+        timestep: jnp.ndarray,  # (B,) or scalar
+        skeletons: Optional[jnp.ndarray] = None,  # (B, 8H, 8W, 3) full-res
+        tem_indices: Optional[jnp.ndarray] = None,  # (B,) int frame indices
+        num_frames: int = 1,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        ch0 = cfg.block_out_channels[0]
+        n_blocks = len(cfg.block_out_channels)
+
+        # 1. time embedding (sinusoidal -> MLP), fp32 features
+        timestep = jnp.broadcast_to(jnp.atleast_1d(timestep), (sample.shape[0],))
+        t_emb = timestep_sinusoidal(
+            timestep, ch0, cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(
+            t_emb
+        )
+
+        # temporal ("frame index") embedding; zero-init output layer so it
+        # starts as a no-op (unet_multiview_condition.py:264-266)
+        if cfg.enable_tem_embeds:
+            if tem_indices is None:
+                tem_indices = jnp.zeros((sample.shape[0],), jnp.int32)
+            f_emb = timestep_sinusoidal(
+                tem_indices, ch0, flip_sin_to_cos=True, downscale_freq_shift=0.0
+            ).astype(self.dtype)
+            tem_emb = TimestepEmbeddingZeroOut(
+                cfg.time_embed_dim, dtype=self.dtype, name="temporal_pos_embed"
+            )(f_emb)
+            emb = emb + tem_emb
+
+        # 2. pre-process
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+        if cfg.enable_pose_encoder:
+            if skeletons is None:
+                raise ValueError("enable_pose_encoder requires skeletons input")
+            x = x + PoseEncoder(ch0, dtype=self.dtype, name="pose_encoder")(skeletons)
+
+        # 3. down
+        res_states = [x]
+        for i in range(n_blocks):
+            ch = cfg.block_out_channels[i]
+            is_final = i == n_blocks - 1
+            if is_final:
+                x, states = DownBlock2D(
+                    ch,
+                    num_layers=cfg.layers_per_block,
+                    add_downsample=False,
+                    norm_groups=cfg.norm_num_groups,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(x, emb)
+            else:
+                nf = num_frames if (n_blocks - i - 1) < cfg.num_3d_attn_blocks else 1
+                x, states = CrossAttnDownBlockMultiview(
+                    ch,
+                    cfg.num_attention_heads[i],
+                    num_layers=cfg.layers_per_block,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    add_downsample=True,
+                    norm_groups=cfg.norm_num_groups,
+                    use_linear_projection=cfg.use_linear_projection,
+                    dtype=self.dtype,
+                    attn_implementation=self.attn_implementation,
+                    name=f"down_blocks_{i}",
+                )(x, emb, num_frames=nf)
+            res_states.extend(states)
+
+        # 4. mid (always 3D)
+        x = UNetMidBlockMultiviewCrossAttn(
+            cfg.block_out_channels[-1],
+            cfg.num_attention_heads[-1],
+            transformer_layers=cfg.transformer_layers_per_block,
+            norm_groups=cfg.norm_num_groups,
+            use_linear_projection=cfg.use_linear_projection,
+            dtype=self.dtype,
+            attn_implementation=self.attn_implementation,
+            name="mid_block",
+        )(x, emb, num_frames=num_frames)
+
+        # 5. up
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        for i in range(n_blocks):
+            ch = rev_channels[i]
+            is_final = i == n_blocks - 1
+            if i == 0:
+                x = UpBlock2D(
+                    ch,
+                    num_layers=cfg.layers_per_block + 1,
+                    add_upsample=not is_final,
+                    norm_groups=cfg.norm_num_groups,
+                    dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(x, res_states, emb)
+            else:
+                nf = num_frames if i < cfg.num_3d_attn_blocks else 1
+                x = CrossAttnUpBlockMultiview(
+                    ch,
+                    rev_heads[i],
+                    num_layers=cfg.layers_per_block + 1,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    add_upsample=not is_final,
+                    norm_groups=cfg.norm_num_groups,
+                    use_linear_projection=cfg.use_linear_projection,
+                    dtype=self.dtype,
+                    attn_implementation=self.attn_implementation,
+                    name=f"up_blocks_{i}",
+                )(x, res_states, emb, num_frames=nf)
+
+        # 6. post-process
+        x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return x
+
+
+class TimestepEmbeddingZeroOut(nn.Module):
+    """TimestepEmbedding whose second linear is zero-initialized
+    (unet_multiview_condition.py:264-266): the temporal head starts as an
+    exact no-op for warm-up training."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray) -> jnp.ndarray:
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Dense(
+            self.time_embed_dim,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="linear_2",
+        )(sample)
+        return sample

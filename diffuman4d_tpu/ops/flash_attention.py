@@ -1,0 +1,137 @@
+"""Pallas TPU flash attention (non-causal, no mask).
+
+Purpose-built for Diffuman4D's attention workloads (reference hot loop:
+src/diffusers/models/attention.py:69-83 — 3D self-attention over
+``(frames * hw)`` tokens, up to 98,304 tokens per window; plus per-frame 2D
+self-attention and the VAE mid-block attention):
+
+  * online-softmax streaming over KV blocks — O(block^2) VMEM instead of
+    materializing the (S, S) score matrix (98k^2 would be 38 GB)
+  * fp32 running max / normalizer / accumulator; the P @ V matmul runs in
+    the input dtype (bf16) on the MXU, matching torch SDPA's precision
+  * grid (batch*heads, q_blocks, kv_blocks); the kv axis is innermost and
+    sequential on TPU so scratch accumulators carry across kv steps
+
+No masking/causal support on purpose: this model never uses attention
+masks (unet_multiview_condition.py:561-584 passes none).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, num_kv):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[:]  # (bq, d)
+    k = k_ref[:]  # (bk, d)
+    v = v_ref[:]  # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (bq, bk) fp32
+
+    m_prev = m_s[:, :1]  # (bq, 1)
+    l_prev = l_s[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+
+    p = jnp.exp(s - m_new)  # (bq, bk) fp32
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    # P @ V on the MXU in the input dtype (matches torch SDPA internals)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_s[:] = acc_s[:] * alpha + pv
+
+    m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+    l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        o_ref[:] = (acc_s[:] / l_s[:, :1]).astype(o_ref.dtype)
+
+
+def flash_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
+    """Whether shapes divide cleanly into flash blocks (else XLA fallback)."""
+    if q.ndim != 4 or k.shape != v.shape:
+        return False
+    _, sq, _, d = q.shape
+    sk = k.shape[1]
+    if d % 64 != 0 or d > 512:
+        return False
+    bq = min(DEFAULT_BLOCK_Q, sq)
+    bk = min(DEFAULT_BLOCK_K, sk)
+    return sq % bq == 0 and sk % bk == 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Sk, H, D)
+    v: jnp.ndarray,  # (B, Sk, H, D)
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"seq lens ({sq}, {sk}) not divisible by blocks")
+
+    # (B, S, H, D) -> (B*H, S, D)
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+
+    num_q = sq // block_q
+    num_kv = sk // block_k
+
+    grid = (b * h, num_q, num_kv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, num_kv=num_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qr.size + kr.size + vr.size + b * h * sq * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vr)
+
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
