@@ -1,0 +1,121 @@
+"""Benchmark: camera-frames/sec/chip on the headline 3D sampling workload.
+
+Measures the reference's demo_3d-equivalent unit of work end-to-end on ONE
+chip: a 48-camera ring (4 inputs, 44 targets) at 1024x1024, sliding_3d
+schedule (window 12, stride 1, 1 round => 12 denoise steps per target,
+CFG 2.0), full-size SD2.1-shaped UNet (0.87B params, bf16) with the Pallas
+flash-attention 3D kernels, VAE encode + 44-image decode included.
+Weights are random-init (no checkpoint egress) — identical FLOP/byte
+profile to trained weights.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the single-A100 reference estimate in
+BASELINE.md (the repo publishes no numbers; see derivation there).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+
+BASELINE_CAM_FRAMES_PER_SEC = 1.1  # single-A100 estimate, see BASELINE.md
+
+
+def main() -> None:
+    import jax
+
+    os.environ.setdefault("BENCH_SCENE_DIR", "/tmp/d4d_bench_scene")
+    import numpy as np
+
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.loader import init_random_params
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    num_cams, size = 48, 1024
+    scene_dir = os.environ["BENCH_SCENE_DIR"]
+    if not osp.isfile(osp.join(scene_dir, "scene", "transforms.json")):
+        make_synthetic_scene(
+            scene_dir, "scene", num_cams=num_cams, num_frames=1, image_size=size
+        )
+
+    dataset = SpaTemDataset(
+        data_dir=scene_dir, scene_label="scene", height=size, width=size
+    )
+    unet = UNetMultiviewCondition(UNetConfig(), dtype=jax.numpy.bfloat16)
+    vae = AutoencoderKL(VAEConfig(), dtype=jax.numpy.bfloat16)
+    sliding = SlidingConfig(
+        window_size=12,
+        sliding_stride=1,
+        bidirectional=False,
+        num_denoising_steps=1,
+        alternation_rounds=1,
+        guidance_scale=2.0,
+    )
+    params = init_random_params(unet, vae, size, seed=0)
+    pipeline = Diffuman4DPipeline(
+        unet,
+        vae,
+        Scheduler(SchedulerConfig(kind="ddim")),
+        params,
+        sliding=sliding,
+        image_size=size,
+    )
+
+    input_labels = [1, 13, 25, 37]
+    out_dir = "/tmp/d4d_bench_out"
+
+    def run_once(tag: str) -> float:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        sampler = SlidingIterativeSampler(
+            dataset,
+            pipeline,
+            output_dir=out_dir,
+            spa_label_range=(0, num_cams, 1),
+            tem_label_range=(0, 1, 1),
+            input_spa_labels=input_labels,
+        )
+        task = sampler.all_tasks[0][0]
+        sample = sampler.load_sample(task)
+        spa, tem = sampler._grid_cells(sample.labels)
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        cond = pipeline.prepare_conditions(sample, key)
+        latents = sampler.grid_latents[spa, tem]
+        t_idx = sampler.grid_t_idx[spa, tem]
+        windows = sampler._windows_for(task, len(sample.labels))
+        latents, t_idx = pipeline.sliding_denoise(
+            cond, latents, t_idx, windows, task.domain
+        )
+        done = np.asarray(t_idx) == sliding.total_steps
+        images = pipeline.decode(latents[jax.numpy.asarray(np.nonzero(done)[0])])
+        jax.block_until_ready(images)
+        return time.perf_counter() - t0
+
+    run_once("warmup")  # compile
+    elapsed = run_once("timed")
+
+    num_targets = num_cams - len(input_labels)
+    value = num_targets / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "cam_frames_per_sec_per_chip",
+                "value": round(value, 4),
+                "unit": "generated 1024x1024 camera-frames/sec/chip (demo_3d workload, 12 steps/target)",
+                "vs_baseline": round(value / BASELINE_CAM_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""CLI entry point (reference: inference.py:18-47).
+
+Usage mirrors the reference's Hydra surface:
+
+    python -m diffuman4d_tpu.cli exp=demo_4d data.scene_label=0811_06 \
+        data.data_dir=./data/dna_rendering model.model_dir=./models/diffuman4d
+
+Flags ``sampling`` / ``to_nerfstudio`` / ``evaluating`` select the stages
+(configs/test.yaml:18-20)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+from diffuman4d_tpu.configs.presets import build_config, config_tree
+
+log = logging.getLogger("diffuman4d_tpu")
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="[%(asctime)s][%(name)s][%(levelname)s] %(message)s"
+    )
+    argv = sys.argv[1:] if argv is None else argv
+    # platform=cpu|tpu must be applied before any backend initializes (this
+    # image's sitecustomize pins JAX_PLATFORMS=axon, so env vars don't work)
+    platform = [a.split("=", 1)[1] for a in argv if a.startswith("platform=")]
+    argv = [a for a in argv if not a.startswith("platform=")]
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform[0])
+    cfg = build_config(argv)
+    print(config_tree(cfg))
+
+    os.makedirs(cfg.sampler.output_dir, exist_ok=True)
+    with open(osp.join(cfg.sampler.output_dir, "config_tree.log"), "w") as f:
+        f.write(config_tree(cfg))
+
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.sampling.loader import load_pipeline
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    dataset = SpaTemDataset(
+        data_dir=cfg.data.data_dir,
+        camera_path_pat=cfg.data.camera_path_pat,
+        image_path_pat=cfg.data.image_path_pat,
+        fmask_path_pat=cfg.data.fmask_path_pat,
+        skeleton_path_pat=cfg.data.skeleton_path_pat,
+        scene_label=cfg.data.scene_label,
+        height=cfg.data.height,
+        width=cfg.data.width,
+        has_gt_target=cfg.data.has_gt_target,
+    )
+    pipeline = load_pipeline(cfg.model, cfg.sampler, cfg.data)
+    sampler = SlidingIterativeSampler(
+        dataset,
+        pipeline,
+        output_dir=cfg.sampler.output_dir,
+        spa_label_range=cfg.sampler.spa_label_range,
+        tem_label_range=cfg.sampler.tem_label_range,
+        spa_labels=cfg.sampler.spa_labels,
+        tem_labels=cfg.sampler.tem_labels,
+        input_spa_labels=cfg.sampler.input_spa_labels,
+        seed=cfg.sampler.seed,
+        save_debug_grids=cfg.sampler.save_debug_grids,
+    )
+
+    if cfg.sampling:
+        t0 = time.time()
+        sampler.execute_tasks()
+        log.info("sampling finished in %.1fs", time.time() - t0)
+
+    if cfg.to_nerfstudio:
+        from diffuman4d_tpu.io.nerfstudio import export_to_nerfstudio
+
+        export_to_nerfstudio(
+            scene_dir=osp.join(osp.expandvars(cfg.data.data_dir), cfg.data.scene_label),
+            output_dir=cfg.sampler.output_dir,
+            input_spa_labels=sampler.input_spa_labels,
+        )
+
+    if cfg.evaluating:
+        from diffuman4d_tpu.data.metrics import evaluate_results
+
+        metrics = evaluate_results(
+            data_dir=osp.expandvars(cfg.data.data_dir),
+            scene_label=cfg.data.scene_label,
+            output_dir=cfg.sampler.output_dir,
+            input_spa_labels=sampler.input_spa_labels,
+        )
+        log.info("metrics: %s", {k: v for k, v in metrics.items() if k != "per_image"})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,243 @@
+"""Spatio-temporal dataset (reference: src/data/spatem_dataset.py).
+
+Loads per-(scene, camera, frame) image / foreground-mask / skeleton files,
+crops around the person, resizes to the working resolution, and assembles
+spatial (one frame, many cameras) or temporal (one camera pair, many
+frames) sequences.
+
+Parity notes:
+  * temporal samples prepend the nearest input camera's track as the
+    condition half (spatem_dataset.py:98-107)
+  * when ``has_gt_target`` is False, targets use the skeleton map as both
+    image and mask source (spatem_dataset.py:124-127)
+  * white-background compositing, relative poses, [-1, 1] ranges and the
+    same runtime invariants (:166-228) — enforced here as exceptions
+
+TPU-first differences:
+  * channels-last numpy outputs
+  * Plücker embeddings are NOT precomputed at full resolution here; the
+    sample carries K (crop-adjusted) and relative poses, and the pipeline
+    evaluates Plücker directly at latent resolution on device
+    (see diffuman4d_tpu.data.rays.calc_plucker_embeds_lowres)
+  * cond masks are per-frame scalars (the reference's mask images are
+    constant per frame; nearest-resize of a constant is the constant)
+  * multi-threaded file loading (the reference loads serially)
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+from PIL import Image
+
+from diffuman4d_tpu.data.cameras import (
+    Camera,
+    nearest_input_camera,
+    parse_cameras,
+    transform_intrinsic_for_crop,
+)
+from diffuman4d_tpu.data.crops import mask_crop_aspect_ratio, skeleton_to_mask
+from diffuman4d_tpu.data.images import apply_fmask, crop_resize, norm_vae, to_float
+
+
+@dataclass
+class Sample:
+    """One spatial or temporal sequence, channels-last numpy."""
+
+    domain: str  # "spatial" | "temporal"
+    labels: list[tuple[str, str, str]]  # (scene, spa, tem) per frame
+    pixel_values: np.ndarray  # (N, H, W, 3) in [-1, 1], white background
+    skeletons: np.ndarray  # (N, H, W, 3) in [-1, 1]
+    cond_masks: np.ndarray  # (N,) float32: 1 = target, 0 = input
+    Ks: np.ndarray  # (N, 3, 3) crop-adjusted intrinsics
+    poses: np.ndarray  # (N, 4, 4) relative to frame 0
+    crops: list[list[int]]  # per-frame [top, left, h, w, oh, ow]
+    hws: list[tuple[int, int]]
+    extra: dict = field(default_factory=dict)
+
+
+class SpaTemDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        camera_path_pat: str = "{data_dir}/{scene_label}/transforms.json",
+        image_path_pat: str = "{data_dir}/{scene_label}/images/{spa_label}/{tem_label}.webp",
+        fmask_path_pat: str = "{data_dir}/{scene_label}/fmasks/{spa_label}/{tem_label}.png",
+        skeleton_path_pat: str = "{data_dir}/{scene_label}/skeletons/{spa_label}/{tem_label}.webp",
+        scene_label: str | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        has_gt_target: bool = True,
+        io_workers: int = 8,
+    ):
+        self.data_dir = osp.expandvars(data_dir)
+        self.camera_path_pat = camera_path_pat
+        self.image_path_pat = image_path_pat
+        self.fmask_path_pat = fmask_path_pat
+        self.skeleton_path_pat = skeleton_path_pat
+        self.scene_label = scene_label or ""
+        self.height = height
+        self.width = width
+        self.has_gt_target = has_gt_target
+        self._pool = ThreadPoolExecutor(max_workers=io_workers)
+
+        camera_path = self.camera_path_pat.format(
+            data_dir=self.data_dir, scene_label=self.scene_label
+        )
+        self.cameras: dict[str, dict[str, Camera]] = {
+            self.scene_label: parse_cameras(
+                camera_path, coord_system="opencv", normalize_scene=True
+            )
+        }
+
+    # ------------------------------------------------------------------
+    def get_file_path(self, pat: str, scene: str, spa: str, tem: str) -> str:
+        return pat.format(
+            data_dir=self.data_dir, scene_label=scene, spa_label=spa, tem_label=tem
+        )
+
+    def _load_frame(
+        self, label: tuple[str, str, str], input_spa_labels: list[str]
+    ) -> dict:
+        scene, spa, tem = label
+        skeleton_img = Image.open(
+            self.get_file_path(self.skeleton_path_pat, scene, spa, tem)
+        )
+        if not self.has_gt_target and spa not in input_spa_labels:
+            # no GT for targets: skeleton stands in for image; pseudo-mask
+            # from the skeleton bbox (spatem_dataset.py:124-127)
+            image_img = skeleton_img
+            fmask_arr = skeleton_to_mask(skeleton_img)[..., None]
+        else:
+            image_img = Image.open(self.get_file_path(self.image_path_pat, scene, spa, tem))
+            fmask_img = Image.open(self.get_file_path(self.fmask_path_pat, scene, spa, tem))
+            if not (image_img.size == fmask_img.size == skeleton_img.size):
+                raise AssertionError(
+                    f"image size {image_img.size} != fmask {fmask_img.size} "
+                    f"!= skeleton {skeleton_img.size} for {label}"
+                )
+            fmask_arr = to_float(fmask_img)
+            if (
+                self.has_gt_target
+                and spa in input_spa_labels
+                and fmask_arr.mean() <= 0.02
+            ):
+                raise AssertionError(
+                    f"foreground mask < 2% for input view {label}; check the data"
+                )
+
+        camera = self.cameras[scene][spa]
+        crop = mask_crop_aspect_ratio(fmask_arr[..., 0])
+
+        h, w = self.height, self.width
+        image = norm_vae(to_float(crop_resize(image_img.convert("RGB"), crop, h, w)))
+        fmask = norm_vae(
+            to_float(crop_resize(Image.fromarray(
+                (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
+            ), crop, h, w))
+        )
+        skeleton = norm_vae(to_float(crop_resize(skeleton_img.convert("RGB"), crop, h, w)))
+        K = transform_intrinsic_for_crop(camera.K, crop, h)
+
+        pixel = apply_fmask(image, fmask, "white", vae_normalized=True)
+        return {
+            "pixel": pixel.astype(np.float32),
+            "skeleton": skeleton.astype(np.float32),
+            "K": K,
+            "pose": camera.pose,
+            "hw": (camera.height, camera.width),
+            "crop": crop,
+        }
+
+    # ------------------------------------------------------------------
+    def get_item(
+        self,
+        scene_label: str,
+        spa_labels: list[str],
+        tem_labels: list[str],
+        input_spa_labels: list[str],
+    ) -> Sample:
+        if len(spa_labels) > 1 and len(tem_labels) == 1:
+            domain = "spatial"
+        elif len(spa_labels) == 1 and len(tem_labels) > 1:
+            domain = "temporal"
+        else:
+            raise ValueError(
+                f"invalid spa_labels and tem_labels: {spa_labels} / {tem_labels}"
+            )
+
+        cameras = self.cameras[scene_label]
+        if domain == "spatial":
+            labels = [(scene_label, spa, tem_labels[0]) for spa in spa_labels]
+        else:
+            # nearest input camera becomes the condition track
+            target_pose = cameras[spa_labels[0]].pose
+            input_poses = [cameras[s].pose for s in input_spa_labels]
+            cond_spa = input_spa_labels[nearest_input_camera(target_pose, input_poses)]
+            labels = [
+                (scene_label, spa, tem)
+                for spa in [cond_spa] + spa_labels
+                for tem in tem_labels
+            ]
+
+        frames = list(
+            self._pool.map(lambda lb: self._load_frame(lb, input_spa_labels), labels)
+        )
+
+        pixel_values = np.stack([f["pixel"] for f in frames])
+        skeletons = np.stack([f["skeleton"] for f in frames])
+        Ks = np.stack([f["K"] for f in frames])
+        poses = np.stack([f["pose"] for f in frames]).astype(np.float32)
+
+        # poses relative to frame 0 (== nearest cond camera for temporal /
+        # first spatial label for spatial; ray_utils.py:115-119)
+        rel_poses = np.linalg.inv(poses[0]) @ poses
+
+        # default cond assignment (second half targets); the sampler
+        # overrides per task (sliding_iterative_sampler.py:134-139)
+        cond_masks = np.ones(len(labels), np.float32)
+        cond_masks[: len(labels) // 2] = 0.0 if domain == "temporal" else 1.0
+        if domain == "spatial":
+            cond_masks = np.asarray(
+                [0.0 if spa in input_spa_labels else 1.0 for (_, spa, _) in labels],
+                np.float32,
+            )
+
+        sample = Sample(
+            domain=domain,
+            labels=labels,
+            pixel_values=pixel_values,
+            skeletons=skeletons,
+            cond_masks=cond_masks,
+            Ks=Ks,
+            poses=rel_poses.astype(np.float32),
+            crops=[f["crop"] for f in frames],
+            hws=[f["hw"] for f in frames],
+        )
+        _check_sample(sample)
+        return sample
+
+
+def _check_sample(s: Sample) -> None:
+    """Runtime invariants (spatem_dataset.py:191-228)."""
+    if s.domain == "temporal":
+        half = len(s.labels) // 2
+        spa = [lb[1] for lb in s.labels]
+        if any(x != spa[0] for x in spa[:half]):
+            raise ValueError("temporal labels inconsistent in condition half")
+        if any(x != spa[-1] for x in spa[half:]):
+            raise ValueError("temporal labels inconsistent in target half")
+    elif s.domain == "spatial":
+        tem = [lb[2] for lb in s.labels]
+        if any(x != tem[0] for x in tem):
+            raise ValueError("spatial labels inconsistent")
+
+    lo, hi = -1.0 - 1e-6, 1.0 + 1e-6
+    for name, arr in (("pixel_values", s.pixel_values), ("skeletons", s.skeletons)):
+        if arr.min() < lo or arr.max() > hi:
+            raise ValueError(f"{name} out of [-1, 1]: [{arr.min()}, {arr.max()}]")
+    if s.cond_masks.min() < 0.0 or s.cond_masks.max() > 1.0:
+        raise ValueError("cond masks out of range")

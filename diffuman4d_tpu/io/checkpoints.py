@@ -1,0 +1,353 @@
+"""Checkpoint loading and conversion.
+
+Two formats:
+  * **HF diffusers layout** (the reference's shipped checkpoint
+    ``krahets/Diffuman4D``: ``unet/diffusion_pytorch_model.safetensors`` +
+    ``config.json``, ``vae/...``, ``scheduler/scheduler_config.json`` —
+    loaded via ``from_pretrained`` at sampling_utils.py:46): converted
+    key-by-key into this framework's flax pytrees, with conv kernels
+    transposed OIHW -> HWIO and linear weights transposed.
+  * **native orbax** checkpoints of the converted pytree (fast reload,
+    sharded-friendly).
+
+The converter is pure renaming + transposition — model parity lives in the
+module structure, so any failure here is a loud KeyError, not silent drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffuman4d_tpu.models.unet import UNetConfig
+from diffuman4d_tpu.models.vae import VAEConfig
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax key mapping
+# ---------------------------------------------------------------------------
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    # torch OIHW -> flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+_NORM_WRAP = {"scale": "scale", "bias": "bias"}
+
+
+def _convert_common(name: str, parts: list[str], tensor: np.ndarray, out: dict) -> bool:
+    """Handle leaf param names shared by UNet and VAE submodules.
+
+    ``parts`` is the flax-side path prefix; returns True if consumed."""
+    leaf = name.rsplit(".", 1)[-1]
+    mod = name.split(".")[-2] if "." in name else ""
+    if leaf == "weight" and tensor.ndim == 4:
+        _set(out, parts + ["kernel"], _conv_kernel(tensor))
+        return True
+    if leaf == "weight" and tensor.ndim == 2:
+        _set(out, parts + ["kernel"], _linear_kernel(tensor))
+        return True
+    if leaf == "weight" and tensor.ndim == 1:
+        # norm scale (GroupNorm/LayerNorm)
+        _set(out, parts + ["scale"], tensor)
+        return True
+    if leaf == "bias":
+        _set(out, parts + ["bias"], tensor)
+        return True
+    return False
+
+
+def _map_resnet(key: str) -> list[str]:
+    """'resnets.0.norm1.weight'-style suffix -> flax path inside a block."""
+    m = re.match(r"resnets\.(\d+)\.(.+)", key)
+    idx, rest = m.group(1), m.group(2)
+    head = rest.split(".")[0]
+    path = [f"resnets_{idx}"]
+    if head in ("norm1", "norm2"):
+        path += [head, "GroupNorm_0"]
+    elif head in ("conv1", "conv2", "conv_shortcut", "time_emb_proj"):
+        path += [head]
+    else:
+        raise KeyError(f"unknown resnet param: {key}")
+    return path
+
+
+def _map_transformer_block(rest: str) -> list[str]:
+    """diffusers 'transformer_blocks.N.<...>' suffix -> ours 'blocks_N.<...>'."""
+    m = re.match(r"transformer_blocks\.(\d+)\.(.+)", rest)
+    n, sub = m.group(1), m.group(2)
+    path = [f"blocks_{n}"]
+    head = sub.split(".")[0]
+    if head in ("norm1", "norm2", "norm3"):
+        path += [head, "LayerNorm_0"]
+    elif head in ("attn1", "attn2"):
+        proj = sub.split(".")[1]
+        if proj == "to_out":
+            path += [head, "to_out"]
+        else:
+            path += [head, proj]
+    elif head == "ff":
+        if sub.startswith("ff.net.0.proj"):
+            path += ["ff", "proj_geglu"]
+        elif sub.startswith("ff.net.2"):
+            path += ["ff", "proj_out"]
+        else:
+            raise KeyError(f"unknown ff param: {sub}")
+    else:
+        raise KeyError(f"unknown transformer param: {sub}")
+    return path
+
+
+def _map_attention_module(key: str) -> list[str]:
+    """'attentions.N.<...>' (a TransformerMultiview) -> flax path."""
+    m = re.match(r"attentions\.(\d+)\.(.+)", key)
+    n, rest = m.group(1), m.group(2)
+    path = [f"attentions_{n}"]
+    head = rest.split(".")[0]
+    if head == "norm":
+        path += ["norm", "GroupNorm_0"]
+    elif head in ("proj_in", "proj_out"):
+        path += [head]
+    elif head == "transformer_blocks":
+        path += _map_transformer_block(rest)
+    else:
+        raise KeyError(f"unknown attention param: {key}")
+    return path
+
+
+def convert_unet_torch_keys(state: dict[str, np.ndarray]) -> dict:
+    """HF UNetMultiviewConditionModel safetensors -> flax params dict."""
+    out: dict = {}
+    pose_conv_map = {0: 0, 2: 1, 4: 2, 6: 3, 8: 4, 10: 5, 12: 6, 14: 7}
+    for name, tensor in state.items():
+        parts: list[str]
+        if name.startswith("conv_in."):
+            parts = ["conv_in"]
+        elif name.startswith("conv_out."):
+            parts = ["conv_out"]
+        elif name.startswith("conv_norm_out."):
+            parts = ["conv_norm_out", "GroupNorm_0"]
+        elif name.startswith("time_embedding."):
+            parts = ["time_embedding", name.split(".")[1]]
+        elif name.startswith("temporal_pos_embed."):
+            parts = ["temporal_pos_embed", name.split(".")[1]]
+        elif name.startswith("pose_encoder."):
+            sub = name.split(".", 1)[1]
+            if sub.startswith("conv_layers."):
+                torch_idx = int(sub.split(".")[1])
+                parts = ["pose_encoder", f"conv_{pose_conv_map[torch_idx]}"]
+            elif sub.startswith("final_proj."):
+                parts = ["pose_encoder", "final_proj"]
+            elif sub == "scale":
+                _set(out, ["pose_encoder", "scale"], tensor)
+                continue
+            else:
+                raise KeyError(f"unknown pose encoder param: {name}")
+        elif name.startswith(("down_blocks.", "up_blocks.")):
+            m = re.match(r"(down|up)_blocks\.(\d+)\.(.+)", name)
+            kind, idx, rest = m.group(1), m.group(2), m.group(3)
+            parts = [f"{kind}_blocks_{idx}"]
+            head = rest.split(".")[0]
+            if head == "resnets":
+                parts += _map_resnet(rest)
+            elif head == "attentions":
+                parts += _map_attention_module(rest)
+            elif head == "downsamplers":
+                parts += ["downsample", "conv"]
+            elif head == "upsamplers":
+                parts += ["upsample", "conv"]
+            else:
+                raise KeyError(f"unknown block param: {name}")
+        elif name.startswith("mid_block."):
+            rest = name.split(".", 1)[1]
+            head = rest.split(".")[0]
+            parts = ["mid_block"]
+            if head == "resnets":
+                parts += _map_resnet(rest)
+            elif head == "attentions":
+                parts += _map_attention_module(rest)
+            else:
+                raise KeyError(f"unknown mid param: {name}")
+        else:
+            raise KeyError(f"unmapped UNet param: {name}")
+
+        if not _convert_common(name, parts, tensor, out):
+            raise KeyError(f"unhandled tensor for {name} (shape {tensor.shape})")
+    return out
+
+
+def convert_vae_torch_keys(state: dict[str, np.ndarray]) -> dict:
+    """HF AutoencoderKL safetensors -> flax params dict."""
+    out: dict = {}
+    for name, tensor in state.items():
+        if name.startswith(("quant_conv.", "post_quant_conv.")):
+            parts = [name.split(".")[0]]
+        elif name.startswith(("encoder.", "decoder.")):
+            side, rest = name.split(".", 1)
+            parts = [side]
+            head = rest.split(".")[0]
+            if head == "conv_in" or head == "conv_out":
+                parts += [head]
+            elif head == "conv_norm_out":
+                parts += ["conv_norm_out", "GroupNorm_0"]
+            elif head in ("down_blocks", "up_blocks"):
+                m = re.match(r"(down|up)_blocks\.(\d+)\.(.+)", rest)
+                kind, idx, sub = m.group(1), m.group(2), m.group(3)
+                subhead = sub.split(".")[0]
+                if subhead == "resnets":
+                    rparts = _map_resnet(sub)
+                    parts += [f"{kind}_{idx}_{rparts[0]}"] + rparts[1:]
+                elif subhead in ("downsamplers", "upsamplers"):
+                    parts += [f"{kind}_{idx}_{subhead[:-1].replace('rs','r')}"]
+                    parts[-1] = f"{kind}_{idx}_downsample" if "down" in subhead else f"{kind}_{idx}_upsample"
+                    parts += ["conv"]
+                else:
+                    raise KeyError(f"unknown vae block param: {name}")
+            elif head == "mid_block":
+                sub = rest.split(".", 1)[1]
+                subhead = sub.split(".")[0]
+                parts += ["mid_block"]
+                if subhead == "resnets":
+                    parts += _map_resnet(sub)
+                elif subhead == "attentions":
+                    m = re.match(r"attentions\.0\.(.+)", sub)
+                    aname = m.group(1).split(".")[0]
+                    amap = {
+                        "group_norm": ["attention", "group_norm", "GroupNorm_0"],
+                        "to_q": ["attention", "to_q"],
+                        "to_k": ["attention", "to_k"],
+                        "to_v": ["attention", "to_v"],
+                        "to_out": ["attention", "to_out"],
+                    }
+                    parts += amap[aname]
+                else:
+                    raise KeyError(f"unknown vae mid param: {name}")
+            else:
+                raise KeyError(f"unknown vae param: {name}")
+        else:
+            raise KeyError(f"unmapped VAE param: {name}")
+
+        if not _convert_common(name, parts, tensor, out):
+            raise KeyError(f"unhandled tensor for {name} (shape {tensor.shape})")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HF directory loading
+# ---------------------------------------------------------------------------
+
+def _load_safetensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            t = f.get_tensor(k)
+            if t.dtype == np.float16 or str(t.dtype) == "bfloat16":
+                t = t.astype(np.float32)
+            out[k] = t
+    return out
+
+
+def unet_config_from_hf(cfg: dict) -> UNetConfig:
+    """diffusers config.json -> UNetConfig (diffusers naming-bug note:
+    attention_head_dim there is the per-stage head *count*)."""
+    heads = cfg.get("num_attention_heads") or cfg.get("attention_head_dim", 8)
+    if isinstance(heads, int):
+        heads = (heads,) * len(cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+    return UNetConfig(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels", (320, 640, 1280, 1280))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        num_attention_heads=tuple(heads),
+        transformer_layers_per_block=cfg.get("transformer_layers_per_block", 1),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        norm_eps=cfg.get("norm_eps", 1e-5),
+        freq_shift=cfg.get("freq_shift", 0),
+        flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
+        num_3d_attn_blocks=cfg.get("num_3d_attn_blocks", 3),
+        enable_tem_embeds=cfg.get("enable_tem_embeds", False),
+        enable_pose_encoder=cfg.get("enable_pose_encoder", False),
+    )
+
+
+def vae_config_from_hf(cfg: dict) -> VAEConfig:
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels", (128, 256, 512, 512))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def load_hf_checkpoint(model_dir: str, dtype=jnp.bfloat16):
+    """Load a diffusers-layout checkpoint directory.
+
+    Returns (unet_config, vae_config, scheduler_config_dict, params)."""
+    def read_json(p):
+        with open(p) as f:
+            return json.load(f)
+
+    unet_cfg = unet_config_from_hf(read_json(osp.join(model_dir, "unet", "config.json")))
+    vae_cfg = vae_config_from_hf(read_json(osp.join(model_dir, "vae", "config.json")))
+    sched_cfg = read_json(osp.join(model_dir, "scheduler", "scheduler_config.json"))
+
+    def find_st(sub):
+        for cand in (
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.fp16.safetensors",
+        ):
+            p = osp.join(model_dir, sub, cand)
+            if osp.isfile(p):
+                return p
+        raise FileNotFoundError(f"no safetensors found under {model_dir}/{sub}")
+
+    unet_params = convert_unet_torch_keys(_load_safetensors(find_st("unet")))
+    vae_params = convert_vae_torch_keys(_load_safetensors(find_st("vae")))
+
+    import jax
+
+    cast = lambda t: jax.tree.map(lambda x: jnp.asarray(x, dtype), t)
+    params = {
+        "unet": {"params": cast(unet_params)},
+        "vae": {"params": cast(vae_params)},
+    }
+    return unet_cfg, vae_cfg, sched_cfg, params
+
+
+# ---------------------------------------------------------------------------
+# native checkpoints (orbax)
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, params: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(osp.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_native(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(osp.abspath(path))

@@ -78,6 +78,7 @@ class UNetMultiviewCondition(nn.Module):
         skeletons: Optional[jnp.ndarray] = None,  # (B, 8H, 8W, 3) full-res
         tem_indices: Optional[jnp.ndarray] = None,  # (B,) int frame indices
         num_frames: int = 1,
+        pose_features: Optional[jnp.ndarray] = None,  # (B, H, W, ch0) precomputed
     ) -> jnp.ndarray:
         cfg = self.config
         ch0 = cfg.block_out_channels[0]
@@ -108,9 +109,19 @@ class UNetMultiviewCondition(nn.Module):
         # 2. pre-process
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
         if cfg.enable_pose_encoder:
-            if skeletons is None:
-                raise ValueError("enable_pose_encoder requires skeletons input")
-            x = x + PoseEncoder(ch0, dtype=self.dtype, name="pose_encoder")(skeletons)
+            # pose_features lets the pipeline encode each skeleton once per
+            # task instead of once per window occurrence (the reference
+            # re-runs the pose encoder inside every window's UNet call,
+            # unet_multiview_condition.py:552-554)
+            if pose_features is None:
+                if skeletons is None:
+                    raise ValueError(
+                        "enable_pose_encoder requires skeletons or pose_features"
+                    )
+                pose_features = PoseEncoder(ch0, dtype=self.dtype, name="pose_encoder")(
+                    skeletons
+                )
+            x = x + pose_features
 
         # 3. down
         res_states = [x]

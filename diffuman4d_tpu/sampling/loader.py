@@ -1,0 +1,110 @@
+"""Pipeline construction from config (reference: sampling_utils.load_pipelines,
+src/samplers/utils/sampling_utils.py:17-51).
+
+The reference downloads ``krahets/Diffuman4D`` from HF and builds one
+pipeline replica per GPU. Here: one pipeline (SPMD handles devices), loaded
+from a local diffusers-layout directory, a native orbax checkpoint, or — in
+this zero-egress environment — random-initialized demo weights with the
+full production architecture."""
+
+from __future__ import annotations
+
+import logging
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+
+from diffuman4d_tpu.configs.presets import DataConfig, ModelConfig, SamplerConfig
+from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig, from_config
+
+log = logging.getLogger(__name__)
+
+DTYPES = {"bf16": jnp.bfloat16, "fp32": jnp.float32, "fp16": jnp.float16}
+
+
+def sliding_from(cfg: SamplerConfig) -> SlidingConfig:
+    return SlidingConfig(
+        window_size=cfg.window_size,
+        sliding_stride=cfg.sliding_stride,
+        sliding_shift=cfg.sliding_shift,
+        bidirectional=cfg.bidirectional,
+        num_denoising_steps=cfg.num_denoising_steps,
+        alternation_rounds=cfg.alternation_rounds,
+        guidance_scale=cfg.guidance_scale,
+    )
+
+
+def init_random_params(
+    unet: UNetMultiviewCondition, vae: AutoencoderKL, image_size: int, seed: int = 0
+) -> dict:
+    latent = image_size // vae.config.downscale_factor
+    key = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((2, latent, latent, unet.config.in_channels), unet.dtype)
+    skel = jnp.zeros((2, image_size, image_size, 3), unet.dtype)
+    unet_params = unet.init(
+        key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2
+    )
+    vae_params = vae.init(key, jnp.zeros((1, image_size, image_size, 3), unet.dtype))
+    return {"unet": unet_params, "vae": vae_params}
+
+
+def load_pipeline(
+    model_cfg: ModelConfig,
+    sampler_cfg: SamplerConfig,
+    data_cfg: DataConfig,
+    unet_config: UNetConfig | None = None,
+    vae_config: VAEConfig | None = None,
+) -> Diffuman4DPipeline:
+    dtype = DTYPES[model_cfg.dtype]
+    sliding = sliding_from(sampler_cfg)
+    model_dir = osp.expandvars(model_cfg.model_dir)
+
+    if osp.isdir(osp.join(model_dir, "unet")):
+        from diffuman4d_tpu.io.checkpoints import load_hf_checkpoint
+
+        log.info("loading diffusers-layout checkpoint from %s", model_dir)
+        unet_config, vae_config, sched_cfg, params = load_hf_checkpoint(
+            model_dir, dtype=dtype
+        )
+        scheduler = from_config(sched_cfg)
+    else:
+        log.warning(
+            "model_dir %s has no checkpoint — using RANDOM-INIT weights "
+            "(demo/benchmark mode; outputs are not meaningful images)",
+            model_dir,
+        )
+        if unet_config is None:
+            if model_cfg.arch == "tiny":
+                unet_config = UNetConfig(
+                    block_out_channels=(8, 16, 16, 16),
+                    num_attention_heads=(1, 2, 2, 2),
+                    layers_per_block=1,
+                    norm_num_groups=4,
+                )
+                vae_config = vae_config or VAEConfig(
+                    block_out_channels=(4, 4, 8, 8), layers_per_block=1
+                )
+            else:
+                unet_config = UNetConfig()
+        vae_config = vae_config or VAEConfig()
+        scheduler = Scheduler(SchedulerConfig(kind="ddim"))
+        unet = UNetMultiviewCondition(
+            unet_config, dtype=dtype, attn_implementation=model_cfg.attn_implementation
+        )
+        vae = AutoencoderKL(vae_config, dtype=dtype)
+        params = init_random_params(unet, vae, data_cfg.height, sampler_cfg.seed)
+        return Diffuman4DPipeline(
+            unet, vae, scheduler, params, sliding=sliding, image_size=data_cfg.height
+        )
+
+    unet = UNetMultiviewCondition(
+        unet_config, dtype=dtype, attn_implementation=model_cfg.attn_implementation
+    )
+    vae = AutoencoderKL(vae_config, dtype=dtype)
+    return Diffuman4DPipeline(
+        unet, vae, scheduler, params, sliding=sliding, image_size=data_cfg.height
+    )

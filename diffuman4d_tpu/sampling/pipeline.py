@@ -1,0 +1,411 @@
+"""Diffuman4D pipeline: condition preparation + sliding-iterative denoising.
+
+Rebuilds src/diffusers/pipelines/diffuman4d/pipeline_diffuman4d.py as a
+small set of jit-compiled programs:
+
+  * :meth:`prepare_conditions` — VAE-encode conditional pixels (only rows
+    that are actually consumed — the reference encodes every frame and then
+    uses just the conditional rows, pipeline_diffuman4d.py:208-214/379),
+    Plücker directly at latent resolution, pose features once per frame.
+  * :meth:`sliding_denoise` — the window loop (reference :439-543) as one
+    ``lax.fori_loop`` over a precomputed window matrix; the inner
+    ``__call__`` denoise loop (:289-425) is unrolled ``num_denoising_steps``
+    times (1 in every shipped config); per-latent scheduler state is a
+    vectorized int32 index array.
+  * :meth:`decode` — micro-batched VAE decode (:59-72).
+
+CFG parity (:345-357, 382-386, 408-410): the negative half of the batch
+replaces conditional-row latents with constant white latents (ones),
+Plücker with zeros ("grey"), skeletons with black (whose pose-encoder
+feature map is a constant, computed once), and uses the same cond masks.
+
+Static shapes per (domain, sequence length, window count): exactly two
+compiled variants per run configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffuman4d_tpu.data.rays import calc_plucker_embeds_lowres
+from diffuman4d_tpu.models.pose_encoder import PoseEncoder
+from diffuman4d_tpu.models.unet import UNetMultiviewCondition
+from diffuman4d_tpu.models.vae import AutoencoderKL
+from diffuman4d_tpu.schedulers.diffusion import Scheduler
+from diffuman4d_tpu.sampling.windows import step_counts
+
+
+@dataclass(frozen=True)
+class SlidingConfig:
+    """Sliding-denoise parameters (configs/sampler/*.yaml)."""
+
+    window_size: int = 12
+    sliding_stride: int = 1
+    sliding_shift: int = 0
+    bidirectional: bool = False
+    num_denoising_steps: int = 1
+    alternation_rounds: int = 3
+    guidance_scale: float = 2.0
+
+    @property
+    def do_cfg(self) -> bool:
+        # guidance_scale == 1 disables CFG (pipeline_diffuman4d.py:149-151)
+        return self.guidance_scale > 1.0
+
+    @property
+    def total_steps(self) -> int:
+        return step_counts(
+            self.window_size,
+            self.sliding_stride,
+            self.num_denoising_steps,
+            self.bidirectional,
+            self.alternation_rounds,
+        )[1]
+
+    @property
+    def steps_per_alt(self) -> int:
+        return step_counts(
+            self.window_size,
+            self.sliding_stride,
+            self.num_denoising_steps,
+            self.bidirectional,
+            self.alternation_rounds,
+        )[0]
+
+
+class Diffuman4DPipeline:
+    def __init__(
+        self,
+        unet: UNetMultiviewCondition,
+        vae: AutoencoderKL,
+        scheduler: Scheduler,
+        params: dict,  # {"unet": ..., "vae": ...} flax variable dicts
+        sliding: SlidingConfig = SlidingConfig(),
+        image_size: int = 1024,
+        vae_batch: int = 8,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.base_scheduler = scheduler
+        self.params = params
+        self.sliding = sliding
+        self.image_size = image_size
+        self.latent_size = image_size // vae.config.downscale_factor
+        self.latent_channels = vae.config.latent_channels
+        self.vae_batch = vae_batch
+        self.scheduler = scheduler.set_timesteps(sliding.total_steps)
+
+        self._encode_j = jax.jit(self._encode_impl)
+        self._decode_j = jax.jit(self._decode_impl)
+        self._pose_j = jax.jit(self._pose_impl)
+        self._plucker_j = jax.jit(self._plucker_impl)
+        self._sliding_j = jax.jit(
+            self._sliding_impl, static_argnames=("domain", "num_denoising_steps")
+        )
+        self._sliding_batch_j = jax.jit(
+            self._sliding_batch_impl, static_argnames=("domain", "num_denoising_steps")
+        )
+
+    # -- condition preparation ----------------------------------------
+    def _encode_impl(self, vae_params, images, key):
+        """Micro-batched VAE encode (pipeline_diffuman4d.py:47-56)."""
+        n = images.shape[0]
+        b = min(self.vae_batch, n)
+        pad = (-n) % b
+        imgs = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+        keys = jax.random.split(key, (n + pad) // b)
+        chunks = imgs.reshape((-1, b) + imgs.shape[1:])
+
+        def enc(args):
+            chunk, k = args
+            return self.vae.apply(vae_params, chunk, k, method="encode")
+
+        z = jax.lax.map(enc, (chunks, keys))
+        z = z.reshape((-1,) + z.shape[2:])
+        return z[:n]
+
+    def _decode_impl(self, vae_params, latents):
+        n = latents.shape[0]
+        b = min(self.vae_batch, n)
+        pad = (-n) % b
+        z = jnp.pad(latents, ((0, pad),) + ((0, 0),) * (latents.ndim - 1))
+        chunks = z.reshape((-1, b) + z.shape[1:])
+        imgs = jax.lax.map(
+            lambda c: self.vae.apply(vae_params, c, method="decode"), chunks
+        )
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        return imgs[:n]
+
+    def _pose_impl(self, unet_params, skeletons):
+        """Pose features once per frame (and once for the black negative)."""
+        pe_params = {"params": unet_params["params"]["pose_encoder"]}
+        module = PoseEncoder(
+            self.unet.config.block_out_channels[0], dtype=self.unet.dtype
+        )
+        n = skeletons.shape[0]
+        b = min(self.vae_batch, n)
+        pad = (-n) % b
+        sk = jnp.pad(skeletons, ((0, pad),) + ((0, 0),) * (skeletons.ndim - 1))
+        chunks = sk.reshape((-1, b) + sk.shape[1:])
+        feats = jax.lax.map(lambda c: module.apply(pe_params, c), chunks)
+        feats = feats.reshape((-1,) + feats.shape[2:])[:n]
+        neg = module.apply(
+            pe_params, -jnp.ones((1,) + skeletons.shape[1:], skeletons.dtype)
+        )
+        return feats, neg
+
+    def _plucker_impl(self, Ks, poses):
+        return calc_plucker_embeds_lowres(
+            self.image_size,
+            self.image_size,
+            Ks,
+            poses,
+            self.latent_size,
+            self.latent_size,
+        )
+
+    def prepare_conditions(self, sample, key) -> dict:
+        """Host Sample -> device condition dict. Only conditional rows'
+        pixels are VAE-encoded; non-cond rows get zeros (never consumed)."""
+        dtype = self.unet.dtype
+        is_cond_input = sample.cond_masks == 0.0  # inputs condition the model
+        pix = jnp.asarray(sample.pixel_values, dtype)
+        n, h, w, _ = pix.shape
+
+        # encode conditional rows only, in their original positions
+        cond_rows = np.nonzero(is_cond_input)[0]
+        k_enc, key = jax.random.split(key)
+        z_cond = self._encode_j(self.params["vae"], pix[jnp.asarray(cond_rows)], k_enc)
+        pix_latents = jnp.zeros(
+            (n, self.latent_size, self.latent_size, self.latent_channels), dtype
+        )
+        pix_latents = pix_latents.at[jnp.asarray(cond_rows)].set(z_cond.astype(dtype))
+
+        plucker = self._plucker_j(
+            jnp.asarray(sample.Ks), jnp.asarray(sample.poses)
+        ).astype(dtype)
+
+        cond = {
+            "pix_latents": pix_latents,
+            "plucker": plucker,
+            "is_cond": jnp.asarray(is_cond_input),
+        }
+        if self.unet.config.enable_pose_encoder:
+            feats, neg = self._pose_j(
+                self.params["unet"], jnp.asarray(sample.skeletons, dtype)
+            )
+            cond["pose_features"] = feats
+            cond["neg_pose_feature"] = neg
+        else:
+            k_sk, key = jax.random.split(key)
+            cond["skeleton_latents"] = self._encode_j(
+                self.params["vae"], jnp.asarray(sample.skeletons, dtype), k_sk
+            ).astype(dtype)
+        return cond
+
+    def init_noise(self, spa_ids: np.ndarray, tem_ids: np.ndarray, seed: int):
+        """Grid-indexed deterministic noise: latent (s, t) always draws the
+        same init noise regardless of task batching (SURVEY §7 hard part d)."""
+        base = jax.random.PRNGKey(seed)
+
+        def one(s, t):
+            k = jax.random.fold_in(jax.random.fold_in(base, s), t)
+            return jax.random.normal(
+                k, (self.latent_size, self.latent_size, self.latent_channels),
+                jnp.float32,
+            )
+
+        noise = jax.vmap(one)(jnp.asarray(spa_ids), jnp.asarray(tem_ids))
+        return (noise * self.scheduler.init_noise_sigma).astype(self.unet.dtype)
+
+    # -- the sliding window loop --------------------------------------
+    def _denoise_step(self, unet_params, cond_w, latents_w, t_idx_w, domain,
+                      scheduler, guidance_scale, do_cfg):
+        """One denoising step on one window (reference __call__ body,
+        pipeline_diffuman4d.py:369-423)."""
+        is_cond = cond_w["is_cond"]  # (L,)
+        L = latents_w.shape[0]
+        dtype = latents_w.dtype
+
+        t = scheduler.timestep_of(t_idx_w, is_cond)  # (L,)
+        x = scheduler.scale_model_input(latents_w, t_idx_w)
+        # conditional rows feed clean image latents (:378-379)
+        sel = is_cond[:, None, None, None]
+        x = jnp.where(sel, cond_w["pix_latents"], x)
+
+        plucker = cond_w["plucker"]
+        if do_cfg:
+            # negative half: white latents on cond rows, grey plucker,
+            # black skeleton features (:349-356, 384-386)
+            x_neg = jnp.where(sel, jnp.ones_like(x), x)
+            x = jnp.concatenate([x_neg, x])
+            plucker = jnp.concatenate([jnp.zeros_like(plucker), plucker])
+            t = jnp.concatenate([t, t])
+
+        parts = [x, plucker]
+        pose_features = None
+        if "pose_features" in cond_w:
+            pose_features = cond_w["pose_features"]
+            if do_cfg:
+                neg = jnp.broadcast_to(
+                    cond_w["neg_pose_feature"], pose_features.shape
+                )
+                pose_features = jnp.concatenate([neg, pose_features])
+        elif "skeleton_latents" in cond_w:
+            sk = cond_w["skeleton_latents"]
+            if do_cfg:
+                sk = jnp.concatenate([-jnp.ones_like(sk), sk])
+            parts.append(sk)
+
+        # the reference's cond-mask image is constant per frame; a broadcast
+        # plane is exact (cond_masks nearest-resize, :242-249)
+        h, w = latents_w.shape[1:3]
+        mask_plane = jnp.broadcast_to(
+            (~is_cond).astype(dtype)[:, None, None, None], (L, h, w, 1)
+        )
+        if do_cfg:
+            mask_plane = jnp.concatenate([mask_plane, mask_plane])
+        parts.append(mask_plane)
+        net_in = jnp.concatenate(parts, axis=-1)
+
+        # temporal embedding indices: zeros (spatial) / tile(arange(L/2), 2)
+        # per CFG half (unet_multiview_condition.py:527-546)
+        if domain == "temporal":
+            tem = jnp.tile(jnp.arange(L // 2, dtype=jnp.int32), 2)
+        else:
+            tem = jnp.zeros((L,), jnp.int32)
+        if do_cfg:
+            tem = jnp.concatenate([tem, tem])
+
+        eps = self.unet.apply(
+            unet_params,
+            net_in,
+            t,
+            tem_indices=tem,
+            num_frames=L,
+            pose_features=pose_features,
+        )
+
+        if do_cfg:
+            eps_u, eps_c = jnp.split(eps, 2)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+
+        new_latents = scheduler.step(eps, t_idx_w, latents_w, mask=~is_cond)
+        new_t_idx = t_idx_w + (~is_cond).astype(jnp.int32)
+        return new_latents, new_t_idx
+
+    def _sliding_impl(
+        self,
+        unet_params,
+        cond,
+        latents,
+        t_idx,
+        windows,
+        *,
+        domain: str,
+        num_denoising_steps: int,
+    ):
+        scheduler = self.scheduler
+        cfg = self.sliding
+        gather_keys = [k for k in cond if k != "neg_pose_feature"]
+
+        def body(i, carry):
+            latents, t_idx = carry
+            w = windows[i]  # (L,)
+            cond_w = {k: jnp.take(cond[k], w, axis=0) for k in gather_keys}
+            if "neg_pose_feature" in cond:
+                cond_w["neg_pose_feature"] = cond["neg_pose_feature"]
+            lat_w = jnp.take(latents, w, axis=0)
+            ti_w = jnp.take(t_idx, w, axis=0)
+            for _ in range(num_denoising_steps):
+                lat_w, ti_w = self._denoise_step(
+                    unet_params, cond_w, lat_w, ti_w, domain, scheduler,
+                    cfg.guidance_scale, cfg.do_cfg,
+                )
+            latents = latents.at[w].set(lat_w)
+            t_idx = t_idx.at[w].set(ti_w)
+            return latents, t_idx
+
+        return jax.lax.fori_loop(0, windows.shape[0], body, (latents, t_idx))
+
+    def _sliding_batch_impl(
+        self, unet_params, cond_b, latents_b, t_idx_b, windows, *,
+        domain: str, num_denoising_steps: int,
+    ):
+        """vmap of the sliding loop over a leading task axis — tasks within
+        an alternation round are independent (reference executes them from a
+        thread queue in arbitrary order, sampling_runner.py:26-43), so SPMD
+        over a mesh 'data' axis is exact."""
+        def one(cond, latents, t_idx):
+            return self._sliding_impl(
+                unet_params, cond, latents, t_idx, windows,
+                domain=domain, num_denoising_steps=num_denoising_steps,
+            )
+
+        return jax.vmap(one)(cond_b, latents_b, t_idx_b)
+
+    def sliding_denoise_batch(self, cond_b, latents_b, t_idx_b, windows, domain,
+                              mesh=None):
+        """Batched tasks, optionally sharded over a mesh 'data' axis."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("data"))
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+            cond_b = jax.tree.map(put, cond_b)
+            latents_b = put(latents_b)
+            t_idx_b = put(t_idx_b)
+        return self._sliding_batch_j(
+            self.params["unet"],
+            cond_b,
+            latents_b,
+            jnp.asarray(t_idx_b, jnp.int32),
+            jnp.asarray(windows),
+            domain=domain,
+            num_denoising_steps=self.sliding.num_denoising_steps,
+        )
+
+    def sliding_denoise(self, cond, latents, t_idx, windows, domain):
+        """Run all windows of one task. Returns (latents, t_idx).
+
+        Raises on the reference's schedule invariants
+        (pipeline_diffuman4d.py:480-487, 546-551)."""
+        t_idx = np.asarray(t_idx)
+        is_cond = np.asarray(cond["is_cond"])
+        tgt = t_idx[~is_cond]
+        if (tgt != tgt[0]).any():
+            raise ValueError(f"target timestep indices differ: {t_idx}")
+        if (t_idx[is_cond] != 0).any():
+            raise ValueError(f"input timestep indices nonzero: {t_idx}")
+        expected_end = int(tgt[0]) + self.sliding.steps_per_alt
+
+        latents, t_idx = self._sliding_j(
+            self.params["unet"],
+            cond,
+            latents,
+            jnp.asarray(t_idx, jnp.int32),
+            jnp.asarray(windows),
+            domain=domain,
+            num_denoising_steps=self.sliding.num_denoising_steps,
+        )
+
+        t_after = np.asarray(t_idx)
+        if (t_after[~is_cond] != expected_end).any():
+            raise ValueError(
+                f"target latents advanced to {t_after[~is_cond]}, expected "
+                f"{expected_end}"
+            )
+        if (t_after[is_cond] != 0).any():
+            raise ValueError("input latent timesteps changed")
+        return latents, t_idx
+
+    # -- outputs --------------------------------------------------------
+    def decode(self, latents) -> np.ndarray:
+        """Latents -> images in [0, 1] (reference post_process, :280-285)."""
+        imgs = self._decode_j(self.params["vae"], latents)
+        return np.clip(np.asarray(imgs, np.float32) * 0.5 + 0.5, 0.0, 1.0)

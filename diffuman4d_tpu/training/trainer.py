@@ -1,0 +1,186 @@
+"""Training: denoising-loss train step for the spatio-temporal UNet.
+
+The reference is inference-only — no training loop ships with it
+(SURVEY §1: "inference-only"). This module makes training a first-class
+capability of the TPU framework: fine-tuning / warm-up training of the
+multiview UNet with the paper's conditioning scheme.
+
+Objective: standard diffusion noise prediction on window sequences.
+A batch element is one window (inputs + targets, like inference):
+  * one timestep per element, shared by its target frames (matching the
+    inference contract where a window's targets share a timestep)
+  * conditional rows are fed clean latents at t=0 (the "cond-row
+    replacement" of pipeline_diffuman4d.py:378-379)
+  * loss is MSE on target rows only, for epsilon or v-prediction targets
+
+Parallelism: pjit over a ("data", "model") mesh — batch on data
+(dp), large kernels sharded on model (tp via GSPMD). The zero-init
+temporal head and pose encoder keep their warm-up semantics
+(unet_multiview_condition.py:253-270).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffuman4d_tpu.models.unet import UNetMultiviewCondition
+from diffuman4d_tpu.schedulers.diffusion import Scheduler
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 1e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: float = 1.0
+    prediction_type: str = "epsilon"  # epsilon | v_prediction
+    remat: bool = True  # rematerialize the UNet to trade FLOPs for HBM
+
+
+class TrainState:
+    """Minimal pytree train state."""
+
+    def __init__(self, params, opt_state, step):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(TrainState)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
+        ),
+    )
+
+
+def create_train_state(params, cfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(params, opt.init(params["params"]), jnp.zeros((), jnp.int32))
+
+
+def diffusion_loss(
+    unet: UNetMultiviewCondition,
+    scheduler: Scheduler,
+    cfg: TrainConfig,
+    params,
+    batch: dict,
+    key: jax.Array,
+    domain: str,
+):
+    """One forward + loss on a batch of windows.
+
+    batch:
+      latents_x0     (B, L, h, w, C)  clean VAE latents
+      plucker        (B, L, h, w, 6)
+      skeletons      (B, L, H, W, 3)  full-res (pose-encoder path)
+      is_cond        (B, L) bool
+    """
+    x0 = batch["latents_x0"].astype(jnp.float32)
+    B, L = x0.shape[:2]
+    h, w, c = x0.shape[2:]
+    is_cond = batch["is_cond"]
+
+    k_t, k_eps = jax.random.split(key)
+    t = jax.random.randint(
+        k_t, (B,), 0, scheduler.config.num_train_timesteps, jnp.int32
+    )
+    t_frames = jnp.repeat(t, L)  # (B*L,)
+    cond_flat = is_cond.reshape(-1)
+    t_frames = jnp.where(cond_flat, 0, t_frames)
+
+    eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+    x_flat = x0.reshape(B * L, h, w, c)
+    eps_flat = eps.reshape(B * L, h, w, c)
+    x_t = scheduler.add_noise(x_flat, eps_flat, t_frames)
+    # conditional rows: clean latents (cond-row replacement)
+    sel = cond_flat[:, None, None, None]
+    x_t = jnp.where(sel, x_flat, x_t)
+
+    dtype = unet.dtype
+    mask_plane = jnp.broadcast_to(
+        (~cond_flat).astype(dtype)[:, None, None, None], (B * L, h, w, 1)
+    )
+    plucker = batch["plucker"].reshape(B * L, h, w, -1).astype(dtype)
+    net_in = jnp.concatenate([x_t.astype(dtype), plucker, mask_plane], axis=-1)
+
+    if domain == "temporal":
+        tem = jnp.tile(jnp.arange(L // 2, dtype=jnp.int32), (B, 2)).reshape(-1)
+    else:
+        tem = jnp.zeros((B * L,), jnp.int32)
+
+    skel = batch["skeletons"].astype(dtype)
+    skel = skel.reshape((B * L,) + skel.shape[2:])
+
+    def fwd(p):
+        return unet.apply(
+            p, net_in, t_frames, skeletons=skel, tem_indices=tem, num_frames=L
+        )
+
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd)
+    pred = fwd(params).astype(jnp.float32)
+
+    if cfg.prediction_type == "epsilon":
+        target = eps_flat
+    elif cfg.prediction_type == "v_prediction":
+        target = scheduler.velocity(x_flat, eps_flat, t_frames)
+    else:
+        raise ValueError(cfg.prediction_type)
+
+    # loss on target rows only
+    weight = (~cond_flat).astype(jnp.float32)[:, None, None, None]
+    se = (pred - target) ** 2 * weight
+    return jnp.sum(se) / (jnp.sum(weight) * h * w * c)
+
+
+def make_train_step(
+    unet: UNetMultiviewCondition,
+    scheduler: Scheduler,
+    cfg: TrainConfig,
+    domain: str = "spatial",
+):
+    """Returns train_step(state, batch, key) -> (state, metrics), jittable
+    and shardable (batch leading axis = dp)."""
+    opt = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        def loss_fn(p):
+            return diffusion_loss(
+                unet, scheduler, cfg, {"params": p}, batch, key, domain
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params["params"])
+        updates, opt_state = opt.update(
+            grads, state.opt_state, state.params["params"]
+        )
+        new_params = optax.apply_updates(state.params["params"], updates)
+        new_state = TrainState(
+            {"params": new_params}, opt_state, state.step + 1
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "step": state.step + 1,
+        }
+        return new_state, metrics
+
+    return train_step

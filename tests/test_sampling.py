@@ -1,0 +1,197 @@
+"""Sliding-window schedule and end-to-end sampling on a tiny synthetic scene.
+
+The step-count algebra (SURVEY §3.4) is fully deterministic — assertable
+without a trained model. The end-to-end test runs the real (random-init)
+tiny UNet through all alternation rounds and checks the reference's
+schedule invariants plus output completeness.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from diffuman4d_tpu.sampling.windows import build_windows, step_counts
+
+
+class TestWindows:
+    def test_step_counts_match_shipped_configs(self):
+        # SURVEY §3.4 ground truth per sampler preset
+        assert step_counts(12, 1, 1, False, 3) == (12, 36)  # sliding_default
+        assert step_counts(12, 2, 1, False, 3) == (6, 18)  # sliding_fast
+        assert step_counts(12, 1, 1, False, 1) == (12, 12)  # sliding_3d
+        assert step_counts(12, 1, 1, False, 5) == (12, 60)  # sliding_premium
+        assert step_counts(4, 1, 1, False, 3) == (4, 12)  # sliding_low_mem
+
+    def test_divisibility_guard(self):
+        with pytest.raises(ValueError, match="divisible"):
+            step_counts(12, 5, 1, False, 3)
+
+    def test_roll_matches_torch(self):
+        # window schedule bit-parity vs reference torch.roll construction
+        # (pipeline_diffuman4d.py:504-518)
+        targets = np.asarray([1, 3, 4, 6, 7, 9])
+        inputs = np.asarray([0, 2, 5, 8])
+        for bidir in (False, True):
+            for stride in (1, 2, 3):
+                got = build_windows(targets, inputs, "spatial", 4, stride, 0, bidir)
+                rows = []
+                t = torch.tensor(targets)
+                for direction in ((-1, 1) if bidir else (-1,)):
+                    for shift in range(0, len(targets), stride):
+                        tw = t.roll(shifts=shift * direction)[:4]
+                        rows.append(np.concatenate([inputs, tw.numpy()]))
+                np.testing.assert_array_equal(got, np.stack(rows))
+
+    def test_temporal_windows_align_condition_track(self):
+        # temporal: inputs [0, T), targets [T, 2T); window's input half must
+        # be target - T (same frame of the condition camera)
+        T = 6
+        targets = np.arange(T, 2 * T)
+        inputs = np.arange(T)
+        w = build_windows(targets, inputs, "temporal", 3, 1, 0, False)
+        assert w.shape == (T, 6)
+        np.testing.assert_array_equal(w[:, :3], w[:, 3:] - T)
+
+    def test_every_target_stepped_equally(self):
+        # each full sweep steps every target exactly window/stride times
+        targets = np.arange(4, 16)
+        inputs = np.arange(4)
+        w = build_windows(targets, inputs, "spatial", 6, 2, 0, False)
+        stepped = w[:, 4:].reshape(-1)
+        counts = np.bincount(stepped, minlength=16)[4:]
+        assert (counts == 3).all()  # window 6 / stride 2
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    data_dir = str(tmp_path_factory.mktemp("synth"))
+    make_synthetic_scene(data_dir, "scene0", num_cams=6, num_frames=4, image_size=64)
+    dataset = SpaTemDataset(
+        data_dir=data_dir, scene_label="scene0", height=64, width=64
+    )
+
+    unet_cfg = UNetConfig(
+        in_channels=11,
+        block_out_channels=(8, 16, 16, 16),
+        num_attention_heads=(1, 2, 2, 2),
+        layers_per_block=1,
+        norm_num_groups=4,
+    )
+    unet = UNetMultiviewCondition(unet_cfg, dtype=jnp.float32, attn_implementation="xla")
+    vae = AutoencoderKL(
+        VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1),
+        dtype=jnp.float32,
+    )
+
+    key = jax.random.PRNGKey(0)
+    lat = 64 // 8
+    sample = jnp.zeros((2, lat, lat, 11))
+    skel = jnp.zeros((2, 64, 64, 3))
+    unet_params = unet.init(key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2)
+    vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+
+    def make_pipeline(sliding):
+        return Diffuman4DPipeline(
+            unet,
+            vae,
+            Scheduler(SchedulerConfig(kind="ddim")),
+            {"unet": unet_params, "vae": vae_params},
+            sliding=sliding,
+            image_size=64,
+            vae_batch=4,
+        )
+
+    return dataset, make_pipeline, SlidingConfig
+
+
+class TestEndToEnd:
+    def test_full_sampling_run(self, tiny_setup, tmp_path):
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        sliding = SlidingConfig(
+            window_size=2,
+            sliding_stride=1,
+            bidirectional=False,
+            num_denoising_steps=1,
+            alternation_rounds=2,
+            guidance_scale=2.0,
+        )
+        sampler = SlidingIterativeSampler(
+            dataset,
+            make_pipeline(sliding),
+            output_dir=str(tmp_path / "out"),
+            spa_label_range=(0, 6, 1),
+            tem_label_range=(0, 4, 1),
+            input_spa_labels=[0, 3],
+        )
+        assert [t[0].domain for t in sampler.all_tasks] == ["spatial", "temporal"]
+        assert len(sampler.all_tasks[0]) == 4  # frames
+        assert len(sampler.all_tasks[1]) == 4  # target cameras
+
+        sampler.execute_tasks()
+
+        # all targets fully denoised; inputs untouched (reference invariants
+        # pipeline_diffuman4d.py:546-551 + completeness check)
+        total = sliding.total_steps
+        t_idx = sampler.grid_t_idx
+        input_rows = [0, 3]
+        target_rows = [1, 2, 4, 5]
+        assert (t_idx[target_rows] == total).all()
+        assert (t_idx[input_rows] == 0).all()
+
+        # completeness: |cams| x |frames| images on disk, inputs included as
+        # clean GT (sampling_utils.py:96-129)
+        import glob
+
+        files = glob.glob(str(tmp_path / "out" / "images" / "**" / "*.jpg"))
+        assert len(files) == 6 * 4
+
+    def test_schedule_invariant_violation_raises(self, tiny_setup, tmp_path):
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        sliding = SlidingConfig(
+            window_size=2, alternation_rounds=1, guidance_scale=1.0
+        )
+        sampler = SlidingIterativeSampler(
+            dataset,
+            make_pipeline(sliding),
+            output_dir=str(tmp_path / "out2"),
+            spa_label_range=(0, 6, 1),
+            tem_label_range=(0, 1, 1),
+            input_spa_labels=[0, 3],
+        )
+        # corrupt the grid state: one target mid-way, others at 0
+        sampler.grid_t_idx[1, 0] = 1
+        with pytest.raises(ValueError, match="timestep"):
+            sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
+
+    def test_no_cfg_mode(self, tiny_setup, tmp_path):
+        # guidance_scale 1.0 disables CFG (sliding_low_mem preset)
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        sliding = SlidingConfig(
+            window_size=2, alternation_rounds=1, guidance_scale=1.0
+        )
+        sampler = SlidingIterativeSampler(
+            dataset,
+            make_pipeline(sliding),
+            output_dir=str(tmp_path / "out3"),
+            spa_label_range=(0, 6, 1),
+            tem_label_range=(0, 1, 1),
+            input_spa_labels=[0, 3],
+        )
+        sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
+        assert (sampler.grid_t_idx[[1, 2, 4, 5], 0] == sliding.steps_per_alt).all()
