@@ -27,9 +27,9 @@ def make_mesh(
     n = len(devices)
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 

@@ -53,7 +53,10 @@ class SlidingIterativeSampler:
         input_spa_labels: list[int] = (1, 13, 25, 37),
         seed: int = 0,
         save_debug_grids: bool = False,
+        resume: bool = True,
+        checkpoint_rounds: bool = True,
     ):
+        self.checkpoint_rounds = checkpoint_rounds
         self.dataset = dataset
         self.pipeline = pipeline
         self.output_dir = output_dir
@@ -106,6 +109,55 @@ class SlidingIterativeSampler:
         self.grid_t_idx = np.zeros((S, T), np.int32)
 
         self.all_tasks = self.prepare_tasks()
+        self._completed_rounds = 0
+        if resume and self._try_resume():
+            pass
+
+    # -- sampling-state checkpointing -----------------------------------
+    # The reference keeps the latent grid only in RAM: a killed run loses
+    # everything but fully-written images (SURVEY §5). Here each completed
+    # alternation round persists (latents, timestep indices) so runs resume
+    # at round granularity.
+    @property
+    def _state_path(self) -> str:
+        import os.path as osp
+
+        return osp.join(self.output_dir, "state", "grid_state.npz")
+
+    def save_state(self) -> None:
+        import os
+        import os.path as osp
+
+        os.makedirs(osp.dirname(self._state_path), exist_ok=True)
+        lat = np.asarray(self.grid_latents, np.float32)
+        np.savez_compressed(
+            self._state_path + ".tmp.npz",
+            latents=lat,
+            t_idx=self.grid_t_idx,
+            completed_rounds=self._completed_rounds,
+            seed=self.seed,
+        )
+        os.replace(self._state_path + ".tmp.npz", self._state_path)
+
+    def _try_resume(self) -> bool:
+        import os.path as osp
+
+        if not osp.isfile(self._state_path):
+            return False
+        data = np.load(self._state_path)
+        if int(data["seed"]) != self.seed or data["latents"].shape != tuple(
+            self.grid_latents.shape
+        ):
+            log_msg = (
+                "[sampler] found grid state with mismatched seed/shape — ignoring"
+            )
+            print(log_msg)
+            return False
+        self.grid_latents = jnp.asarray(data["latents"], self.grid_latents.dtype)
+        self.grid_t_idx = data["t_idx"].astype(np.int32)
+        self._completed_rounds = int(data["completed_rounds"])
+        print(f"[sampler] resumed after round {self._completed_rounds}")
+        return True
 
     # ------------------------------------------------------------------
     def prepare_tasks(self) -> list[list[Task]]:
@@ -224,6 +276,14 @@ class SlidingIterativeSampler:
             )
 
     # ------------------------------------------------------------------
+    def _task_key(self, round_idx: int, task_idx: int):
+        """Deterministic per-(round, task) key: execution order, wave
+        padding, and resume cannot change the noise schedule."""
+        import jax
+
+        base = jax.random.PRNGKey(self.seed + 1)
+        return jax.random.fold_in(jax.random.fold_in(base, round_idx), task_idx)
+
     def execute_tasks_parallel(self, mesh, key=None) -> None:
         """SPMD execution: waves of ``data``-axis-many tasks per pjit call.
 
@@ -234,16 +294,17 @@ class SlidingIterativeSampler:
         import jax
 
         n_wave = mesh.shape["data"]
-        key = key if key is not None else jax.random.PRNGKey(self.seed + 1)
-        for tasks in self.all_tasks:
+        for round_idx, tasks in enumerate(self.all_tasks):
+            if round_idx < self._completed_rounds:
+                continue
             for i in range(0, len(tasks), n_wave):
                 wave = tasks[i : i + n_wave]
                 n_real = len(wave)
                 padded = wave + [wave[-1]] * (n_wave - n_real)
 
                 samples, conds, cells = [], [], []
-                for task in padded:
-                    key, sub = jax.random.split(key)
+                for j, task in enumerate(padded):
+                    sub = self._task_key(round_idx, min(i + j, len(tasks) - 1))
                     s = self.load_sample(task)
                     samples.append(s)
                     conds.append(self.pipeline.prepare_conditions(s, sub))
@@ -278,18 +339,22 @@ class SlidingIterativeSampler:
                     self._save_task_outputs(
                         padded[k], samples[k], jnp.asarray(lat_host[k]), ti_host[k]
                     )
+            self._completed_rounds = round_idx + 1
+            if self.checkpoint_rounds:
+                self.save_state()
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
             raise ValueError("Sampling failed: output grid incomplete.")
 
     def execute_tasks(self, key=None) -> None:
         """All rounds, sequentially (single-device path;
         sliding_iterative_sampler.py:206-212)."""
-        import jax
-
-        key = key if key is not None else jax.random.PRNGKey(self.seed + 1)
-        for tasks in self.all_tasks:
-            for task in tasks:
-                key, sub = jax.random.split(key)
-                self.execute_one_task(task, sub)
+        for round_idx, tasks in enumerate(self.all_tasks):
+            if round_idx < self._completed_rounds:
+                continue
+            for task_idx, task in enumerate(tasks):
+                self.execute_one_task(task, self._task_key(round_idx, task_idx))
+            self._completed_rounds = round_idx + 1
+            if self.checkpoint_rounds:
+                self.save_state()
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
             raise ValueError("Sampling failed: output grid incomplete.")

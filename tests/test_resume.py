@@ -1,0 +1,103 @@
+"""Round-granular sampling-state checkpoint/resume — capability the
+reference lacks (a killed run loses the in-memory latent grid, SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    data_dir = str(tmp_path_factory.mktemp("synthr"))
+    make_synthetic_scene(data_dir, "scene0", num_cams=6, num_frames=2, image_size=64)
+    dataset = SpaTemDataset(data_dir=data_dir, scene_label="scene0", height=64, width=64)
+
+    cfg = UNetConfig(
+        in_channels=11,
+        block_out_channels=(8, 16, 16, 16),
+        num_attention_heads=(1, 2, 2, 2),
+        layers_per_block=1,
+        norm_num_groups=4,
+    )
+    unet = UNetMultiviewCondition(cfg, dtype=jnp.float32, attn_implementation="xla")
+    vae = AutoencoderKL(
+        VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1), dtype=jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    unet_params = unet.init(
+        key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 64, 64, 3)), num_frames=2,
+    )
+    vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+    pipeline = Diffuman4DPipeline(
+        unet, vae, Scheduler(SchedulerConfig(kind="ddim")),
+        {"unet": unet_params, "vae": vae_params},
+        sliding=SlidingConfig(window_size=2, alternation_rounds=2, guidance_scale=1.0),
+        image_size=64, vae_batch=4,
+    )
+    return dataset, pipeline
+
+
+def _make_sampler(dataset, pipeline, out):
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    return SlidingIterativeSampler(
+        dataset, pipeline,
+        output_dir=str(out),
+        spa_label_range=(0, 6, 1),
+        tem_label_range=(0, 2, 1),
+        input_spa_labels=[0, 3],
+    )
+
+
+def test_resume_after_partial_run(setup, tmp_path):
+    dataset, pipeline = setup
+    out = tmp_path / "run"
+
+    # full run: reference result
+    ref = _make_sampler(dataset, pipeline, tmp_path / "full")
+    ref.execute_tasks()
+
+    # partial run: only round 1, then "crash"
+    part = _make_sampler(dataset, pipeline, out)
+    round0 = part.all_tasks[0]
+    for i, task in enumerate(round0):
+        part.execute_one_task(task, part._task_key(0, i))
+    part._completed_rounds = 1
+    part.save_state()
+    del part
+
+    # new process: resumes and completes rounds 2..N
+    resumed = _make_sampler(dataset, pipeline, out)
+    assert resumed._completed_rounds == 1
+    resumed.execute_tasks()
+
+    np.testing.assert_array_equal(ref.grid_t_idx, resumed.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(resumed.grid_latents), atol=1e-5
+    )
+
+
+def test_mismatched_state_ignored(setup, tmp_path):
+    dataset, pipeline = setup
+    out = tmp_path / "run2"
+    s = _make_sampler(dataset, pipeline, out)
+    s.save_state()
+    # different seed must not resume from that state
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    s2 = SlidingIterativeSampler(
+        dataset, pipeline, output_dir=str(out),
+        spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+        input_spa_labels=[0, 3], seed=99,
+    )
+    assert s2._completed_rounds == 0
