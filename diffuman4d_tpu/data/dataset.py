@@ -102,24 +102,34 @@ class SpaTemDataset:
     def _load_frame(
         self, label: tuple[str, str, str], input_spa_labels: list[str]
     ) -> dict:
+        from diffuman4d_tpu.io import native
+
         scene, spa, tem = label
-        skeleton_img = Image.open(
-            self.get_file_path(self.skeleton_path_pat, scene, spa, tem)
-        )
+        skeleton_path = self.get_file_path(self.skeleton_path_pat, scene, spa, tem)
+        use_native = native.available()
+
+        def _decode(path):
+            if use_native:
+                return native.decode(path)
+            return np.asarray(Image.open(path))
+
+        skeleton_raw = _decode(skeleton_path)
         if not self.has_gt_target and spa not in input_spa_labels:
             # no GT for targets: skeleton stands in for image; pseudo-mask
             # from the skeleton bbox (spatem_dataset.py:124-127)
-            image_img = skeleton_img
-            fmask_arr = skeleton_to_mask(skeleton_img)[..., None]
+            image_raw = skeleton_raw
+            fmask_arr = skeleton_to_mask(to_float(skeleton_raw))[..., None]
         else:
-            image_img = Image.open(self.get_file_path(self.image_path_pat, scene, spa, tem))
-            fmask_img = Image.open(self.get_file_path(self.fmask_path_pat, scene, spa, tem))
-            if not (image_img.size == fmask_img.size == skeleton_img.size):
+            image_raw = _decode(self.get_file_path(self.image_path_pat, scene, spa, tem))
+            fmask_raw = _decode(self.get_file_path(self.fmask_path_pat, scene, spa, tem))
+            if not (image_raw.shape[:2] == fmask_raw.shape[:2] == skeleton_raw.shape[:2]):
                 raise AssertionError(
-                    f"image size {image_img.size} != fmask {fmask_img.size} "
-                    f"!= skeleton {skeleton_img.size} for {label}"
+                    f"image size {image_raw.shape} != fmask {fmask_raw.shape} "
+                    f"!= skeleton {skeleton_raw.shape} for {label}"
                 )
-            fmask_arr = to_float(fmask_img)
+            fmask_arr = to_float(fmask_raw)
+            if fmask_arr.ndim == 3 and fmask_arr.shape[-1] > 1:
+                fmask_arr = fmask_arr.mean(axis=-1, keepdims=True)
             if (
                 self.has_gt_target
                 and spa in input_spa_labels
@@ -133,13 +143,30 @@ class SpaTemDataset:
         crop = mask_crop_aspect_ratio(fmask_arr[..., 0])
 
         h, w = self.height, self.width
-        image = norm_vae(to_float(crop_resize(image_img.convert("RGB"), crop, h, w)))
-        fmask = norm_vae(
-            to_float(crop_resize(Image.fromarray(
-                (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
-            ), crop, h, w))
-        )
-        skeleton = norm_vae(to_float(crop_resize(skeleton_img.convert("RGB"), crop, h, w)))
+        if use_native:
+            # fused native crop+bicubic-resize (d4dio); PIL-equivalent
+            to_rgb = lambda a: (
+                a if a.ndim == 3 and a.shape[-1] == 3
+                else np.repeat(a.reshape(a.shape[0], a.shape[1], 1)[..., :1], 3, -1)
+            )
+            image = norm_vae(to_float(native.crop_resize(to_rgb(image_raw), crop, h, w)))
+            skeleton = norm_vae(
+                to_float(native.crop_resize(to_rgb(skeleton_raw), crop, h, w))
+            )
+            fmask_u8 = (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
+            fmask = norm_vae(
+                to_float(native.crop_resize(fmask_u8[..., None], crop, h, w))
+            )
+        else:
+            image_img = Image.fromarray(image_raw) if isinstance(image_raw, np.ndarray) else image_raw
+            skeleton_img = Image.fromarray(skeleton_raw) if isinstance(skeleton_raw, np.ndarray) else skeleton_raw
+            image = norm_vae(to_float(crop_resize(image_img.convert("RGB"), crop, h, w)))
+            fmask = norm_vae(
+                to_float(crop_resize(Image.fromarray(
+                    (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
+                ), crop, h, w))
+            )
+            skeleton = norm_vae(to_float(crop_resize(skeleton_img.convert("RGB"), crop, h, w)))
         K = transform_intrinsic_for_crop(camera.K, crop, h)
 
         pixel = apply_fmask(image, fmask, "white", vae_normalized=True)
