@@ -26,6 +26,10 @@ BASELINE_CAM_FRAMES_PER_SEC = 1.1  # single-A100 estimate, see BASELINE.md
 def main() -> None:
     import jax
 
+    from diffuman4d_tpu.utils.jax_setup import setup as _jax_setup
+
+    _jax_setup()
+
     os.environ.setdefault("BENCH_SCENE_DIR", "/tmp/d4d_bench_scene")
     import numpy as np
 

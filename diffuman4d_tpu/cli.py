@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform[0])
+    from diffuman4d_tpu.utils.jax_setup import setup as _jax_setup
+
+    _jax_setup()
     cfg = build_config(argv)
     print(config_tree(cfg))
 

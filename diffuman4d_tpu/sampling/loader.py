@@ -41,14 +41,21 @@ def sliding_from(cfg: SamplerConfig) -> SlidingConfig:
 def init_random_params(
     unet: UNetMultiviewCondition, vae: AutoencoderKL, image_size: int, seed: int = 0
 ) -> dict:
-    latent = image_size // vae.config.downscale_factor
+    """Random-init parameters. Conv/attention parameter shapes are input-
+    size independent, so initialization always traces at the smallest legal
+    latent (2^num_downsamples) — initializing at the runtime resolution
+    would compile a full-size forward just to draw random numbers (~10min
+    for the production UNet on this environment's remote-compile path)."""
+    del image_size  # param shapes don't depend on it
+    min_latent = 2 ** (len(unet.config.block_out_channels) - 1)
+    min_image = min_latent * vae.config.downscale_factor
     key = jax.random.PRNGKey(seed)
-    sample = jnp.zeros((2, latent, latent, unet.config.in_channels), unet.dtype)
-    skel = jnp.zeros((2, image_size, image_size, 3), unet.dtype)
+    sample = jnp.zeros((2, min_latent, min_latent, unet.config.in_channels), unet.dtype)
+    skel = jnp.zeros((2, min_image, min_image, 3), unet.dtype)
     unet_params = unet.init(
         key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2
     )
-    vae_params = vae.init(key, jnp.zeros((1, image_size, image_size, 3), unet.dtype))
+    vae_params = vae.init(key, jnp.zeros((1, min_image, min_image, 3), unet.dtype))
     return {"unet": unet_params, "vae": vae_params}
 
 

@@ -87,8 +87,12 @@ class Diffuman4DPipeline:
         params: dict,  # {"unet": ..., "vae": ...} flax variable dicts
         sliding: SlidingConfig = SlidingConfig(),
         image_size: int = 1024,
-        vae_batch: int = 8,
+        vae_batch: int = 4,
+        vae_decode_batch: int | None = None,
     ):
+        # decode at 1024^2 peaks ~1 GB activations per image in the decoder's
+        # upper stages; small decode batches keep HBM headroom on 16 GB chips
+        self.vae_decode_batch = vae_decode_batch or max(1, vae_batch // 2)
         self.unet = unet
         self.vae = vae
         self.base_scheduler = scheduler
@@ -131,7 +135,7 @@ class Diffuman4DPipeline:
 
     def _decode_impl(self, vae_params, latents):
         n = latents.shape[0]
-        b = min(self.vae_batch, n)
+        b = min(self.vae_decode_batch, n)
         pad = (-n) % b
         z = jnp.pad(latents, ((0, pad),) + ((0, 0),) * (latents.ndim - 1))
         chunks = z.reshape((-1, b) + z.shape[1:])
@@ -174,13 +178,14 @@ class Diffuman4DPipeline:
         pixels are VAE-encoded; non-cond rows get zeros (never consumed)."""
         dtype = self.unet.dtype
         is_cond_input = sample.cond_masks == 0.0  # inputs condition the model
-        pix = jnp.asarray(sample.pixel_values, dtype)
-        n, h, w, _ = pix.shape
+        n = sample.pixel_values.shape[0]
 
-        # encode conditional rows only, in their original positions
+        # encode conditional rows only — and transfer only those rows to the
+        # device (48 full-res frames would be ~300 MB of dead HBM)
         cond_rows = np.nonzero(is_cond_input)[0]
         k_enc, key = jax.random.split(key)
-        z_cond = self._encode_j(self.params["vae"], pix[jnp.asarray(cond_rows)], k_enc)
+        pix_cond = jnp.asarray(sample.pixel_values[cond_rows], dtype)
+        z_cond = self._encode_j(self.params["vae"], pix_cond, k_enc)
         pix_latents = jnp.zeros(
             (n, self.latent_size, self.latent_size, self.latent_channels), dtype
         )
