@@ -74,8 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if cfg.sampling:
+        import jax
+
         t0 = time.time()
-        sampler.execute_tasks()
+        if len(jax.devices()) > 1:
+            from diffuman4d_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            log.info("SPMD sampling over %d devices", mesh.shape["data"])
+            sampler.execute_tasks_parallel(mesh)
+        else:
+            sampler.execute_tasks()
         log.info("sampling finished in %.1fs", time.time() - t0)
 
     if cfg.to_nerfstudio:

@@ -49,15 +49,24 @@ def dot_product_attention(
     if implementation == "xla":
         return _xla_attention(q, k, v)
 
-    if implementation in ("auto", "pallas"):
+    if implementation in ("auto", "pallas", "bundled"):
         from diffuman4d_tpu.ops.flash_attention import (
             flash_attention,
+            flash_attention_bundled,
             flash_supported,
         )
 
-        if implementation == "pallas" or (
-            flash_supported(q, k, v) and jax.default_backend() != "cpu"
-        ):
+        on_accel = jax.default_backend() != "cpu"
+        if implementation == "pallas":
+            return flash_attention(q, k, v)
+        if implementation == "bundled":
+            return flash_attention_bundled(q, k, v)
+        if flash_supported(q, k, v) and on_accel:
+            # measured on v5e (scripts/profile_window.py): the bundled jax
+            # kernel leads at very long sequences, the local kernel
+            # elsewhere; both stream KV so memory profiles match
+            if q.shape[1] >= 16384 and q.shape[-1] <= 128 and q.shape[1] % 1024 == 0:
+                return flash_attention_bundled(q, k, v)
             return flash_attention(q, k, v)
         return _xla_attention(q, k, v)
 

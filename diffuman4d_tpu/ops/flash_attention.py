@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 
@@ -83,6 +83,41 @@ def flash_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     bq = min(DEFAULT_BLOCK_Q, sq)
     bk = min(DEFAULT_BLOCK_K, sk)
     return sq % bq == 0 and sk % bk == 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_bundled(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """jax's bundled TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) on our (B, S, H, D)
+    layout — used by the auto-dispatcher for the largest sequences where it
+    currently outruns the local kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as _jax_flash,
+    )
+
+    b, sq, h, d = q.shape
+    block_q = min(block_q, sq)
+    block_k = min(block_k, k.shape[1])
+    bs = BlockSizes(
+        block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
+        block_q_major_dkv=block_q, block_k_major_dkv=block_k,
+        block_k_dkv=block_k, block_q_dkv=block_q,
+        block_k_major_dq=block_k, block_k_dq=block_k, block_q_dq=block_q,
+    )
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _jax_flash(
+        qt, kt, vt, causal=False, sm_scale=1.0 / (d**0.5), block_sizes=bs
+    )
+    return out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
