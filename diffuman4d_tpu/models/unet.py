@@ -59,6 +59,9 @@ class UNetConfig:
     num_3d_attn_blocks: int = 3
     enable_tem_embeds: bool = True
     enable_pose_encoder: bool = True
+    # optional FreeU (b1, b2, s1, s2) — reference keeps diffusers' hook
+    # (unet_multiview_blocks.py:643-665)
+    freeu: Optional[tuple[float, float, float, float]] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -166,6 +169,9 @@ class UNetMultiviewCondition(nn.Module):
         )(x, emb, num_frames=num_frames)
 
         # 5. up
+        from diffuman4d_tpu.models.freeu import FreeUConfig
+
+        freeu_cfg = FreeUConfig(*cfg.freeu) if cfg.freeu is not None else None
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_heads = list(reversed(cfg.num_attention_heads))
         for i in range(n_blocks):
@@ -177,6 +183,8 @@ class UNetMultiviewCondition(nn.Module):
                     num_layers=cfg.layers_per_block + 1,
                     add_upsample=not is_final,
                     norm_groups=cfg.norm_num_groups,
+                    resolution_idx=i,
+                    freeu=freeu_cfg,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(x, res_states, emb)
@@ -189,6 +197,8 @@ class UNetMultiviewCondition(nn.Module):
                     transformer_layers=cfg.transformer_layers_per_block,
                     add_upsample=not is_final,
                     norm_groups=cfg.norm_num_groups,
+                    resolution_idx=i,
+                    freeu=freeu_cfg,
                     use_linear_projection=cfg.use_linear_projection,
                     dtype=self.dtype,
                     attn_implementation=self.attn_implementation,

@@ -20,6 +20,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from diffuman4d_tpu.models.freeu import FreeUConfig, apply_freeu
 from diffuman4d_tpu.models.layers import Downsample2D, ResnetBlock2D, Upsample2D
 from diffuman4d_tpu.models.transformer import TransformerMultiview
 
@@ -118,12 +119,15 @@ class UpBlock2D(nn.Module):
     num_layers: int = 3
     add_upsample: bool = True
     norm_groups: int = 32
+    resolution_idx: int = 0
+    freeu: Optional[FreeUConfig] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, res_states: list, temb: jnp.ndarray):
         for i in range(self.num_layers):
             res = res_states.pop()
+            x, res = apply_freeu(self.resolution_idx, x, res, self.freeu)
             x = jnp.concatenate([x, res], axis=-1)
             x = ResnetBlock2D(self.out_channels, groups=self.norm_groups, dtype=self.dtype, name=f"resnets_{i}")(
                 x, temb
@@ -140,6 +144,8 @@ class CrossAttnUpBlockMultiview(nn.Module):
     transformer_layers: int = 1
     add_upsample: bool = True
     norm_groups: int = 32
+    resolution_idx: int = 0
+    freeu: Optional[FreeUConfig] = None
     use_linear_projection: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
@@ -155,6 +161,7 @@ class CrossAttnUpBlockMultiview(nn.Module):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             res = res_states.pop()
+            x, res = apply_freeu(self.resolution_idx, x, res, self.freeu)
             x = jnp.concatenate([x, res], axis=-1)
             x = ResnetBlock2D(self.out_channels, groups=self.norm_groups, dtype=self.dtype, name=f"resnets_{i}")(
                 x, temb

@@ -186,3 +186,35 @@ class TestAttentionBlock:
         h = h + ffo
 
         np.testing.assert_allclose(out, h, atol=1e-4)
+
+
+class TestFreeU:
+    def test_freeu_changes_output_only_when_enabled(self):
+        cfg_off = TINY_UNET
+        cfg_on = UNetConfig(
+            in_channels=11,
+            block_out_channels=(8, 16, 32, 32),
+            num_attention_heads=(1, 2, 4, 4),
+            layers_per_block=1,
+            norm_num_groups=4,
+            freeu=(1.5, 1.6, 0.9, 0.2),
+        )
+        m_off = UNetMultiviewCondition(cfg_off, dtype=jnp.float32, attn_implementation="xla")
+        m_on = UNetMultiviewCondition(cfg_on, dtype=jnp.float32, attn_implementation="xla")
+        sample = jnp.zeros((2, 16, 16, 11))
+        skel = jnp.zeros((2, 128, 128, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        params = m_off.init(jax.random.PRNGKey(0), sample, t, skel, num_frames=2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=sample.shape), jnp.float32)
+        out_off = m_off.apply(params, x, t, skel, num_frames=2)
+        out_on = m_on.apply(params, x, t, skel, num_frames=2)  # same params
+        assert np.abs(np.asarray(out_on - out_off)).max() > 1e-4
+
+    def test_fourier_filter_identity_at_scale_1(self):
+        from diffuman4d_tpu.models.freeu import fourier_filter
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+        out = fourier_filter(x, threshold=1, scale=1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
