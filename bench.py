@@ -96,7 +96,7 @@ def main() -> None:
         latents = sampler.grid_latents[spa, tem]
         t_idx = sampler.grid_t_idx[spa, tem]
         windows = sampler._windows_for(task, len(sample.labels))
-        latents, t_idx = pipeline.sliding_denoise(
+        latents, t_idx, _ = pipeline.sliding_denoise(
             cond, latents, t_idx, windows, task.domain
         )
         done = np.asarray(t_idx) == sliding.total_steps

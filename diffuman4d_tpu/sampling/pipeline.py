@@ -230,7 +230,7 @@ class Diffuman4DPipeline:
 
     # -- the sliding window loop --------------------------------------
     def _denoise_step(self, unet_params, cond_w, latents_w, t_idx_w, domain,
-                      scheduler, guidance_scale, do_cfg):
+                      scheduler, guidance_scale, do_cfg, aux_w=None):
         """One denoising step on one window (reference __call__ body,
         pipeline_diffuman4d.py:369-423)."""
         is_cond = cond_w["is_cond"]  # (L,)
@@ -300,9 +300,14 @@ class Diffuman4DPipeline:
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
 
-        new_latents = scheduler.step(eps, t_idx_w, latents_w, mask=~is_cond)
+        if scheduler.has_aux:
+            new_latents, aux_w = scheduler.step_with_aux(
+                eps, t_idx_w, latents_w, aux_w, mask=~is_cond
+            )
+        else:
+            new_latents = scheduler.step(eps, t_idx_w, latents_w, mask=~is_cond)
         new_t_idx = t_idx_w + (~is_cond).astype(jnp.int32)
-        return new_latents, new_t_idx
+        return new_latents, new_t_idx, aux_w
 
     def _sliding_impl(
         self,
@@ -311,6 +316,7 @@ class Diffuman4DPipeline:
         latents,
         t_idx,
         windows,
+        aux=None,
         *,
         domain: str,
         num_denoising_steps: int,
@@ -318,25 +324,35 @@ class Diffuman4DPipeline:
         scheduler = self.scheduler
         cfg = self.sliding
         gather_keys = [k for k in cond if k != "neg_pose_feature"]
+        if scheduler.has_aux and aux is None:
+            aux = scheduler.init_aux(latents.shape)
 
         def body(i, carry):
-            latents, t_idx = carry
+            latents, t_idx, aux = carry
             w = windows[i]  # (L,)
             cond_w = {k: jnp.take(cond[k], w, axis=0) for k in gather_keys}
             if "neg_pose_feature" in cond:
                 cond_w["neg_pose_feature"] = cond["neg_pose_feature"]
             lat_w = jnp.take(latents, w, axis=0)
             ti_w = jnp.take(t_idx, w, axis=0)
+            aux_w = (
+                jax.tree.map(lambda a: jnp.take(a, w, axis=0), aux)
+                if scheduler.has_aux else None
+            )
             for _ in range(num_denoising_steps):
-                lat_w, ti_w = self._denoise_step(
+                lat_w, ti_w, aux_w = self._denoise_step(
                     unet_params, cond_w, lat_w, ti_w, domain, scheduler,
-                    cfg.guidance_scale, cfg.do_cfg,
+                    cfg.guidance_scale, cfg.do_cfg, aux_w,
                 )
             latents = latents.at[w].set(lat_w)
             t_idx = t_idx.at[w].set(ti_w)
-            return latents, t_idx
+            if scheduler.has_aux:
+                aux = jax.tree.map(lambda a, u: a.at[w].set(u), aux, aux_w)
+            return latents, t_idx, aux
 
-        return jax.lax.fori_loop(0, windows.shape[0], body, (latents, t_idx))
+        init = (latents, t_idx, aux if scheduler.has_aux else jnp.zeros(()))
+        latents, t_idx, aux = jax.lax.fori_loop(0, windows.shape[0], body, init)
+        return latents, t_idx, aux
 
     def _sliding_batch_impl(
         self, unet_params, cond_b, latents_b, t_idx_b, windows, *,
@@ -347,10 +363,11 @@ class Diffuman4DPipeline:
         thread queue in arbitrary order, sampling_runner.py:26-43), so SPMD
         over a mesh 'data' axis is exact."""
         def one(cond, latents, t_idx):
-            return self._sliding_impl(
+            out = self._sliding_impl(
                 unet_params, cond, latents, t_idx, windows,
                 domain=domain, num_denoising_steps=num_denoising_steps,
             )
+            return out[0], out[1], out[2]
 
         return jax.vmap(one)(cond_b, latents_b, t_idx_b)
 
@@ -375,8 +392,8 @@ class Diffuman4DPipeline:
             num_denoising_steps=self.sliding.num_denoising_steps,
         )
 
-    def sliding_denoise(self, cond, latents, t_idx, windows, domain):
-        """Run all windows of one task. Returns (latents, t_idx).
+    def sliding_denoise(self, cond, latents, t_idx, windows, domain, aux=None):
+        """Run all windows of one task. Returns (latents, t_idx, aux).
 
         Raises on the reference's schedule invariants
         (pipeline_diffuman4d.py:480-487, 546-551)."""
@@ -389,12 +406,13 @@ class Diffuman4DPipeline:
             raise ValueError(f"input timestep indices nonzero: {t_idx}")
         expected_end = int(tgt[0]) + self.sliding.steps_per_alt
 
-        latents, t_idx = self._sliding_j(
+        latents, t_idx, aux = self._sliding_j(
             self.params["unet"],
             cond,
             latents,
             jnp.asarray(t_idx, jnp.int32),
             jnp.asarray(windows),
+            aux,
             domain=domain,
             num_denoising_steps=self.sliding.num_denoising_steps,
         )
@@ -407,7 +425,7 @@ class Diffuman4DPipeline:
             )
         if (t_after[is_cond] != 0).any():
             raise ValueError("input latent timesteps changed")
-        return latents, t_idx
+        return latents, t_idx, aux
 
     # -- outputs --------------------------------------------------------
     def decode(self, latents) -> np.ndarray:

@@ -107,6 +107,18 @@ class SlidingIterativeSampler:
             (S, T, pipeline.latent_size, pipeline.latent_size, pipeline.latent_channels)
         )
         self.grid_t_idx = np.zeros((S, T), np.int32)
+        # multistep schedulers (dpm++) carry per-latent history in the grid
+        self.grid_aux = None
+        if pipeline.scheduler.has_aux:
+            flat_aux = pipeline.scheduler.init_aux(
+                (S * T, pipeline.latent_size, pipeline.latent_size,
+                 pipeline.latent_channels)
+            )
+            import jax
+
+            self.grid_aux = jax.tree.map(
+                lambda a: a.reshape((S, T) + a.shape[1:]), flat_aux
+            )
 
         self.all_tasks = self.prepare_tasks()
         self._completed_rounds = 0
@@ -229,14 +241,24 @@ class SlidingIterativeSampler:
         latents = self.grid_latents[spa, tem]
         t_idx = self.grid_t_idx[spa, tem]
         windows = self._windows_for(task, len(sample.labels))
+        import jax
 
-        latents, t_idx = self.pipeline.sliding_denoise(
-            cond, latents, t_idx, windows, task.domain
+        aux = (
+            jax.tree.map(lambda a: a[spa, tem], self.grid_aux)
+            if self.grid_aux is not None else None
+        )
+
+        latents, t_idx, aux = self.pipeline.sliding_denoise(
+            cond, latents, t_idx, windows, task.domain, aux=aux
         )
 
         # write back to the grid
         self.grid_latents = self.grid_latents.at[spa, tem].set(latents)
         self.grid_t_idx[spa, tem] = np.asarray(t_idx)
+        if self.grid_aux is not None:
+            self.grid_aux = jax.tree.map(
+                lambda g, u: g.at[spa, tem].set(u), self.grid_aux, aux
+            )
 
         self._save_task_outputs(task, sample, latents, np.asarray(t_idx))
 
@@ -324,9 +346,17 @@ class SlidingIterativeSampler:
                             f"schedule invariant violated for task {wave[k]}"
                         )
 
-                lat_b, ti_b_new = self.pipeline.sliding_denoise_batch(
+                lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
                     cond_b, lat_b, ti_b, windows, wave[0].domain, mesh=mesh
                 )
+                if self.grid_aux is not None:
+                    for k in range(n_real):
+                        s_idx, t_cells = cells[k]
+                        self.grid_aux = jax.tree.map(
+                            lambda g, u, si=s_idx, ti=t_cells, kk=k:
+                                g.at[si, ti].set(u[kk]),
+                            self.grid_aux, aux_b,
+                        )
                 lat_host = jax.device_get(lat_b)
                 ti_host = np.asarray(jax.device_get(ti_b_new))
 

@@ -29,7 +29,7 @@ import numpy as np
 
 @dataclass(frozen=True)
 class SchedulerConfig:
-    kind: str = "ddim"  # ddim | ddpm | euler
+    kind: str = "ddim"  # ddim | ddpm | euler | dpm++ (2M multistep)
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
@@ -52,6 +52,7 @@ def from_config(cfg: dict) -> "Scheduler":
         "DDIMScheduler": "ddim",
         "DDPMScheduler": "ddpm",
         "EulerDiscreteScheduler": "euler",
+        "DPMSolverMultistepScheduler": "dpm++",
     }.get(class_name)
     if kind is None:
         raise NotImplementedError(f"Scheduler {class_name} not supported")
@@ -198,6 +199,8 @@ class Scheduler:
         eps = model_output.astype(jnp.float32)
         idx = jnp.clip(t_index, 0, self.num_inference_steps - 1)
 
+        if self.config.kind == "dpm++":
+            raise ValueError("dpm++ is multistep: use step_with_aux")
         if self.config.kind == "euler":
             out = self._euler_step(eps, idx, x)
         elif self.config.kind == "ddim":
@@ -275,6 +278,87 @@ class Scheduler:
         noise = jax.random.normal(key, x.shape, jnp.float32)
         has_noise = _bcast(prev_t >= 0, x)
         return mean + jnp.where(has_noise, jnp.sqrt(var) * noise, 0.0)
+
+    # -- DPM-Solver++ (2M): multistep with explicit per-latent history -----
+    @property
+    def has_aux(self) -> bool:
+        return self.config.kind == "dpm++"
+
+    def init_aux(self, sample_shape) -> dict:
+        """Per-latent multistep history: previous x0 prediction + validity.
+        Replaces the hidden state the reference's per-latent deepcopied
+        schedulers carry (pipeline_diffuman4d.py:269)."""
+        return {
+            "prev_x0": jnp.zeros(sample_shape, jnp.float32),
+            "has_prev": jnp.zeros(sample_shape[:1], bool),
+        }
+
+    def _lambda(self, t):
+        a = jnp.take(self.alphas_cumprod, t)
+        alpha = jnp.sqrt(a)
+        sigma = jnp.sqrt(1.0 - a)
+        return jnp.log(alpha / sigma), alpha, sigma
+
+    def step_with_aux(
+        self,
+        model_output: jnp.ndarray,
+        t_index: jnp.ndarray,
+        sample: jnp.ndarray,
+        aux: dict,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        """DPM-Solver++(2M) step, vectorized per latent. First step per
+        latent falls back to first order; subsequent steps use the stored
+        previous x0 prediction."""
+        if self.config.kind != "dpm++":
+            # aux passes through untouched for single-step schedulers
+            return self.step(model_output, t_index, sample, mask=mask), aux
+        dtype = sample.dtype
+        x = sample.astype(jnp.float32)
+        idx = jnp.clip(t_index, 0, self.num_inference_steps - 1)
+
+        t = jnp.take(self.timesteps, idx)
+        step_ratio = self.config.num_train_timesteps // self.num_inference_steps
+        t_prev2 = jnp.maximum(t + step_ratio, 0)  # the step before t
+        t_next = jnp.maximum(t - step_ratio, 0)
+        is_last = (t - step_ratio) < 0
+
+        a_t = _bcast(jnp.take(self.alphas_cumprod, t), x)
+        x0, _ = self._pred_x0(model_output.astype(jnp.float32), x, a_t)
+
+        lam_t, _, sig_t = self._lambda(t)
+        lam_s, alp_s, sig_s = self._lambda(t_next)
+        lam_p, _, _ = self._lambda(t_prev2)
+        h = lam_s - lam_t
+        h_prev = lam_t - lam_p
+        r = h_prev / jnp.where(h == 0, 1.0, h)
+
+        # 2M correction when history exists
+        has_prev = aux["has_prev"]
+        coef = 1.0 / (2.0 * jnp.maximum(r, 1e-8))
+        d = jnp.where(
+            _bcast(has_prev, x),
+            (1 + coef)[..., None, None, None] * x0
+            - coef[..., None, None, None] * aux["prev_x0"],
+            x0,
+        )
+        sig_ratio = _bcast(sig_s / sig_t, x)
+        phi = _bcast(jnp.expm1(-h), x)
+        out = sig_ratio * x - _bcast(alp_s, x) * phi * d
+        # final step returns the clean prediction
+        out = jnp.where(_bcast(is_last, x), x0, out)
+
+        new_aux = {
+            "prev_x0": x0,
+            "has_prev": jnp.ones_like(has_prev),
+        }
+        if mask is not None:
+            out = jnp.where(_bcast(mask, out), out, x)
+            new_aux = {
+                "prev_x0": jnp.where(_bcast(mask, x0), x0, aux["prev_x0"]),
+                "has_prev": jnp.where(mask, new_aux["has_prev"], has_prev),
+            }
+        return out.astype(dtype), new_aux
 
     def _euler_step(self, model_output, idx, x):
         sigma = _bcast(jnp.take(self.sigmas, idx), x)

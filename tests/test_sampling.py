@@ -195,3 +195,34 @@ class TestEndToEnd:
         )
         sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
         assert (sampler.grid_t_idx[[1, 2, 4, 5], 0] == sliding.steps_per_alt).all()
+
+    def test_dpm_solver_multistep_end_to_end(self, tiny_setup, tmp_path):
+        # exercises the per-latent multistep history (aux) through the grid
+        from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+        from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        base = make_pipeline(SlidingConfig(window_size=2, alternation_rounds=2,
+                                           guidance_scale=1.0))
+        pipe = Diffuman4DPipeline(
+            base.unet, base.vae,
+            Scheduler(SchedulerConfig(kind="dpm++")),
+            base.params,
+            sliding=base.sliding, image_size=64, vae_batch=4,
+        )
+        sampler = SlidingIterativeSampler(
+            dataset, pipe,
+            output_dir=str(tmp_path / "dpm"),
+            spa_label_range=(0, 6, 1),
+            tem_label_range=(0, 4, 1),
+            input_spa_labels=[0, 3],
+        )
+        assert sampler.grid_aux is not None
+        sampler.execute_tasks()
+        t_idx = sampler.grid_t_idx
+        assert (t_idx[[1, 2, 4, 5]] == pipe.sliding.total_steps).all()
+        # history was populated for target latents
+        has_prev = np.asarray(sampler.grid_aux["has_prev"])
+        assert has_prev[[1, 2, 4, 5]].all()
+        assert not has_prev[[0, 3]].any()

@@ -168,3 +168,59 @@ class TestDDPMEuler:
         np.testing.assert_allclose(
             np.asarray(s.scale_model_input(x, jnp.zeros((1,), jnp.int32))), 3.0
         )
+
+
+class TestDPMSolver:
+    def test_perfect_denoising_recovers_x0(self):
+        cfg = SchedulerConfig(kind="dpm++", set_alpha_to_one=True)
+        s = Scheduler(cfg).set_timesteps(15)
+        rng = np.random.default_rng(7)
+        x0 = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+        ac = np.asarray(s.alphas_cumprod)
+        t0 = int(np.asarray(s.timesteps)[0])
+        x = jnp.asarray(np.sqrt(ac[t0]) * x0 + np.sqrt(1 - ac[t0]) * rng.normal(size=x0.shape))
+        aux = s.init_aux(x.shape)
+        for i in range(15):
+            idx = jnp.full((1,), i, jnp.int32)
+            t = int(np.asarray(s.timestep_of(idx, jnp.zeros(1, bool)))[0])
+            eps = jnp.asarray(_oracle_eps(np.asarray(x), x0, ac[t]))
+            x, aux = s.step_with_aux(eps, idx, x, aux)
+        np.testing.assert_allclose(np.asarray(x), x0, atol=5e-3)
+
+    def test_vectorized_equals_individual_with_history(self):
+        s = Scheduler(SchedulerConfig(kind="dpm++")).set_timesteps(12)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(3, 4, 4, 2)), jnp.float32)
+        eps = jnp.asarray(rng.normal(size=(3, 4, 4, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(3, 4, 4, 2)), jnp.float32)
+        idx = jnp.asarray([2, 5, 9], jnp.int32)
+        aux = {"prev_x0": prev, "has_prev": jnp.asarray([True, False, True])}
+        out, new_aux = s.step_with_aux(eps, idx, x, aux)
+        for j in range(3):
+            aj = {"prev_x0": prev[j:j+1], "has_prev": aux["has_prev"][j:j+1]}
+            oj, _ = s.step_with_aux(eps[j:j+1], idx[j:j+1], x[j:j+1], aj)
+            np.testing.assert_allclose(np.asarray(out[j]), np.asarray(oj[0]), atol=1e-6)
+
+    def test_mask_preserves_history(self):
+        s = Scheduler(SchedulerConfig(kind="dpm++")).set_timesteps(12)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 2)), jnp.float32)
+        eps = jnp.asarray(rng.normal(size=(2, 4, 4, 2)), jnp.float32)
+        aux = s.init_aux(x.shape)
+        out, new_aux = s.step_with_aux(eps, jnp.zeros((2,), jnp.int32), x, aux,
+                                       mask=jnp.asarray([False, True]))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]))
+        assert not bool(new_aux["has_prev"][0])
+        assert bool(new_aux["has_prev"][1])
+
+    def test_single_step_schedulers_pass_aux_through(self):
+        s = Scheduler(SchedulerConfig(kind="ddim")).set_timesteps(12)
+        x = jnp.zeros((1, 2, 2, 1))
+        aux = {"anything": 1}
+        out, aux2 = s.step_with_aux(jnp.zeros_like(x), jnp.zeros((1,), jnp.int32), x, aux)
+        assert aux2 is aux
+
+    def test_from_config_dpm(self):
+        s = from_config({"_class_name": "DPMSolverMultistepScheduler"})
+        assert s.config.kind == "dpm++"
+        assert s.has_aux
