@@ -53,10 +53,12 @@ class SlidingIterativeSampler:
         input_spa_labels: list[int] = (1, 13, 25, 37),
         seed: int = 0,
         save_debug_grids: bool = False,
+        save_crop_params: bool = False,
         resume: bool = True,
         checkpoint_rounds: bool = True,
     ):
         self.checkpoint_rounds = checkpoint_rounds
+        self.save_crop_params = save_crop_params
         self.dataset = dataset
         self.pipeline = pipeline
         self.output_dir = output_dir
@@ -286,16 +288,31 @@ class SlidingIterativeSampler:
                 self.output_dir,
             )
         if self.save_debug_grids:
+            # grid rows mirror sampling_utils.py:70-93: blended skeletons,
+            # inputs, outputs (input rows dimmed), L1 error
             images = self.pipeline.decode(latents)
+            inputs01 = sample.pixel_values * 0.5 + 0.5
+            skel01 = (sample.skeletons * 0.5 + 0.5) * 0.8 + inputs01 * 0.2
+            error = np.clip(np.abs(images - inputs01), 0.0, 1.0)
+            outputs = images.copy()
+            inp_rows = sample.cond_masks == 0.0
+            outputs[inp_rows] *= 0.2
             rows = {
-                "skeleton": sample.skeletons * 0.5 + 0.5,
-                "input": sample.pixel_values * 0.5 + 0.5,
-                "output": images,
+                "skeleton": skel01,
+                "input": inputs01,
+                "output": outputs,
+                "error": error,
             }
             tag = "spa" if task.domain == "temporal" else "tem"
             save_debug_grid(
                 rows, self.output_dir, f"alt{task.alt}_{tag}{task.domain_label}"
             )
+        if self.save_crop_params:
+            from diffuman4d_tpu.sampling.outputs import save_json
+            import os.path as osp
+
+            for (_, spa, tem), crop in zip(sample.labels, sample.crops):
+                save_json(crop, osp.join(self.output_dir, "crops", spa, f"{tem}.json"))
 
     # ------------------------------------------------------------------
     def _task_key(self, round_idx: int, task_idx: int):

@@ -94,3 +94,54 @@ def test_window_batcher_and_training_encode(tmp_path):
         state = create_train_state(unet_params, TrainConfig())
         state, metrics = step(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_training_loop_runs_and_checkpoints(tmp_path):
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+    from diffuman4d_tpu.training.data import WindowBatcher, WindowBatcherConfig
+    from diffuman4d_tpu.training.loop import LoopConfig, train
+    from diffuman4d_tpu.training.trainer import TrainConfig
+
+    make_synthetic_scene(str(tmp_path / "d"), "sc", num_cams=6, num_frames=4, image_size=64)
+    dataset = SpaTemDataset(data_dir=str(tmp_path / "d"), scene_label="sc", height=64, width=64)
+    cfg = UNetConfig(
+        in_channels=11, block_out_channels=(8, 16, 16, 16),
+        num_attention_heads=(1, 2, 2, 2), layers_per_block=1, norm_num_groups=4,
+    )
+    unet = UNetMultiviewCondition(cfg, dtype=jnp.float32, attn_implementation="xla")
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+                          jnp.zeros((2, 64, 64, 3)), num_frames=2),
+        "vae": vae.init(key, jnp.zeros((1, 64, 64, 3))),
+    }
+    pipe = Diffuman4DPipeline(unet, vae, Scheduler(SchedulerConfig()), params,
+                              sliding=SlidingConfig(window_size=2), image_size=64, vae_batch=4)
+    batcher = WindowBatcher(dataset, WindowBatcherConfig(
+        window_size=2, tem_labels=[f"{i:06d}" for i in range(4)],
+        input_spa_labels=["00", "03"],
+    ))
+    out = tmp_path / "run"
+    state = train(
+        pipe, batcher,
+        LoopConfig(steps=4, batch_size=1, window_size=2, checkpoint_every=4,
+                   log_every=1, out_dir=str(out)),
+        TrainConfig(remat=False),
+    )
+    assert int(state.step) == 4
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 4
+    import json as _json
+
+    recs = [_json.loads(l) for l in lines]
+    assert {r["domain"] for r in recs} == {"spatial", "temporal"}
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    import os as _os
+
+    assert any(f.startswith("ckpt_") for f in _os.listdir(out))
