@@ -1,0 +1,74 @@
+"""Pallas flash-attention correctness in interpreter mode (CPU-runnable).
+
+The real-chip benchmarks live in scripts/profile_window.py; these tests pin
+the kernel's numerics (vs the XLA reference path) including under vmap —
+the batching path the SPMD wave executor exercises."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _interp_flash(q, k, v, block_q=64, block_k=64):
+    """Run the kernel body under the pallas interpreter."""
+    import functools
+
+    from diffuman4d_tpu.ops import flash_attention as fa
+
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    num_kv = sk // block_k
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        functools.partial(fa._flash_kernel, scale=scale, num_kv=num_kv),
+        grid=(b * h, sq // block_q, num_kv),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=True,
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("seq,block", [(128, 64), (256, 128), (192, 64)])
+def test_flash_matches_xla_interpret(seq, block):
+    from diffuman4d_tpu.ops.attention import _xla_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, seq, 3, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, seq, 3, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, seq, 3, 32)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    got = _interp_flash(q, k, v, block_q=block, block_k=block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_multiblock_softmax_stability():
+    # large logits spanning kv blocks: online softmax must stay stable
+    from diffuman4d_tpu.ops.attention import _xla_attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 128, 1, 32)) * 10, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 128, 1, 32)) * 10, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 128, 1, 32)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    got = _interp_flash(q, k, v, block_q=32, block_k=32)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
