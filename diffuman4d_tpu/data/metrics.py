@@ -220,7 +220,8 @@ def evaluate_results(
 
     spa_labels = sorted(os.listdir(pred_dir))
     evaluator = ImageEvaluator(lpips_weights)
-    values = []
+
+    jobs = []
     for spa in spa_labels:
         if spa in input_spa_labels:
             continue
@@ -236,14 +237,23 @@ def evaluate_results(
                 continue
             fmask_path = osp.join(fmask_dir, spa, tem + ".png")
             fmask = fmask_path if osp.isfile(fmask_path) else None
-            p, s, l = evaluator(
-                pred=osp.join(pred_dir, spa, f),
-                gt=gt_path,
-                pred_fmask=fmask,
-                gt_fmask=fmask,
-                canvas_size=canvas_size,
-            )
-            values.append({"key": f"{spa}/{tem}", "psnr": p, "ssim": s, "lpips": l})
+            jobs.append((spa, tem, osp.join(pred_dir, spa, f), gt_path, fmask))
+
+    # IO-parallel evaluation (the reference splits across GPUs,
+    # metric_utils.py:195-220; here decode/IO threads overlap the jitted
+    # metric compute)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(job):
+        spa, tem, pred_path, gt_path, fmask = job
+        p, s, l = evaluator(
+            pred=pred_path, gt=gt_path, pred_fmask=fmask, gt_fmask=fmask,
+            canvas_size=canvas_size,
+        )
+        return {"key": f"{spa}/{tem}", "psnr": p, "ssim": s, "lpips": l}
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        values = list(pool.map(one, jobs))
 
     values.sort(key=lambda x: x["key"])
     lp = [v["lpips"] for v in values if not np.isnan(v["lpips"])]

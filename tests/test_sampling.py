@@ -226,3 +226,24 @@ class TestEndToEnd:
         has_prev = np.asarray(sampler.grid_aux["has_prev"])
         assert has_prev[[1, 2, 4, 5]].all()
         assert not has_prev[[0, 3]].any()
+
+    def test_has_gt_target_false(self, tiny_setup, tmp_path):
+        # targets have no GT: skeleton maps stand in (spatem_dataset.py:124-127)
+        from diffuman4d_tpu.data.dataset import SpaTemDataset
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        ds2 = SpaTemDataset(
+            data_dir=dataset.data_dir, scene_label="scene0",
+            height=64, width=64, has_gt_target=False,
+        )
+        sliding = SlidingConfig(window_size=2, alternation_rounds=1, guidance_scale=1.0)
+        sampler = SlidingIterativeSampler(
+            ds2, make_pipeline(sliding),
+            output_dir=str(tmp_path / "nogt"),
+            spa_label_range=(0, 6, 1),
+            tem_label_range=(0, 1, 1),
+            input_spa_labels=[0, 3],
+        )
+        sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
+        assert (sampler.grid_t_idx[[1, 2, 4, 5], 0] == sliding.steps_per_alt).all()
