@@ -248,6 +248,98 @@ def convert_vae_torch_keys(state: dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# flax -> torch (inverse) conversion for interop
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: dict, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unmap_block_path(parts: list[str]) -> str:
+    """Invert the flax-side path of one UNet down/mid/up block param."""
+    out = []
+    in_ff = False
+    for p in parts:
+        if p.startswith("resnets_"):
+            out.append(f"resnets.{p.split('_')[1]}")
+        elif p.startswith("attentions_"):
+            out.append(f"attentions.{p.split('_')[1]}")
+        elif p.startswith("blocks_"):
+            out.append(f"transformer_blocks.{p.split('_')[1]}")
+        elif p == "downsample":
+            out.append("downsamplers.0")
+        elif p == "upsample":
+            out.append("upsamplers.0")
+        elif p in ("GroupNorm_0", "LayerNorm_0"):
+            pass  # flax wrapper level, no torch analog
+        elif p == "to_out":
+            out.append("to_out.0")
+        elif p == "ff":
+            in_ff = True  # children carry the full torch prefix
+        elif p == "proj_geglu":
+            out.append("ff.net.0.proj")
+        elif p == "proj_out" and in_ff:
+            out.append("ff.net.2")
+        else:
+            out.append(p)
+    return ".".join(out)
+
+
+def export_unet_torch_keys(params: dict) -> dict[str, np.ndarray]:
+    """flax UNet params -> diffusers-style torch state dict (numpy values).
+    Inverse of :func:`convert_unet_torch_keys` — enables writing checkpoints
+    the reference implementation can load."""
+    flat = _flatten(params)
+    pose_conv_inv = {0: 0, 1: 2, 2: 4, 3: 6, 4: 8, 5: 10, 6: 12, 7: 14}
+    out = {}
+    for path, val in flat.items():
+        parts = path.split("/")
+        leaf = parts[-1]
+        body = parts[:-1]
+
+        if body and body[0] == "pose_encoder":
+            if body[-1] == "final_proj":
+                name = "pose_encoder.final_proj"
+            elif leaf == "scale":
+                out["pose_encoder.scale"] = val
+                continue
+            else:
+                idx = int(body[-1].split("_")[1])
+                name = f"pose_encoder.conv_layers.{pose_conv_inv[idx]}"
+        elif body and body[0].startswith(("down_blocks_", "up_blocks_")):
+            kind, idx = body[0].rsplit("_", 1)
+            name = f"{kind}.{idx}." + _unmap_block_path(body[1:])
+        elif body and body[0] == "mid_block":
+            name = "mid_block." + _unmap_block_path(body[1:])
+        elif body and body[0] in ("time_embedding", "temporal_pos_embed"):
+            name = ".".join(body)
+        elif body and body[0] in ("conv_in", "conv_out", "conv_norm_out"):
+            name = body[0]
+        else:
+            raise KeyError(f"unmapped flax param: {path}")
+
+        if leaf == "kernel":
+            if val.ndim == 4:
+                out[f"{name}.weight"] = np.transpose(val, (3, 2, 0, 1))
+            else:
+                out[f"{name}.weight"] = np.transpose(val, (1, 0))
+        elif leaf == "scale":
+            out[f"{name}.weight"] = val
+        elif leaf == "bias":
+            out[f"{name}.bias"] = val
+        else:
+            raise KeyError(f"unknown leaf {leaf} at {path}")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # HF directory loading
 # ---------------------------------------------------------------------------
 

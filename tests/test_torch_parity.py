@@ -288,3 +288,18 @@ def test_unet_matches_independent_torch_forward():
     )
     got = np.asarray(out)
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_converter_roundtrip():
+    """torch sd -> flax -> torch must be the identity (up to dict order)."""
+    from diffuman4d_tpu.io.checkpoints import export_unet_torch_keys
+
+    rng = np.random.default_rng(3)
+    sd = {k: v.numpy() for k, v in _random_state_dict(rng).items()}
+    flax_params = convert_unet_torch_keys(sd)
+    back = export_unet_torch_keys(flax_params)
+    assert set(back) == set(sd), (
+        sorted(set(sd) - set(back))[:5], sorted(set(back) - set(sd))[:5]
+    )
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
