@@ -62,10 +62,15 @@ def dot_product_attention(
         if implementation == "bundled":
             return flash_attention_bundled(q, k, v)
         if flash_supported(q, k, v) and on_accel:
-            # measured on v5e (scripts/profile_window.py): the bundled jax
-            # kernel leads at very long sequences, the local kernel
-            # elsewhere; both stream KV so memory profiles match
-            if q.shape[1] >= 16384 and q.shape[-1] <= 128 and q.shape[1] % 1024 == 0:
+            # measured on v5e (scripts/profile_window.py @ d=64):
+            #   seq 4096:  XLA 36 TF/s > local pallas 24 TF/s (XLA's
+            #              attention rewriter fuses at this size)
+            #   seq 16384: local 28 TF/s; bundled jax kernel ~2x local
+            #   seq 65536: bundled 62 TF/s > local 31 TF/s
+            s = q.shape[1]
+            if s <= 4096 and s == k.shape[1]:
+                return _xla_attention(q, k, v)
+            if s >= 16384 and q.shape[-1] <= 128 and s % 1024 == 0:
                 return flash_attention_bundled(q, k, v)
             return flash_attention(q, k, v)
         return _xla_attention(q, k, v)
