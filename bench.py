@@ -20,7 +20,7 @@ import os
 import os.path as osp
 import time
 
-BASELINE_CAM_FRAMES_PER_SEC = 1.1  # single-A100 estimate, see BASELINE.md
+BASELINE_CAM_FRAMES_PER_SEC = 0.55  # single-A100 estimate, see BASELINE.md
 
 
 def main() -> None:
