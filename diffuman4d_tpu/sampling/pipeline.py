@@ -355,39 +355,49 @@ class Diffuman4DPipeline:
         return latents, t_idx, aux
 
     def _sliding_batch_impl(
-        self, unet_params, cond_b, latents_b, t_idx_b, windows, *,
+        self, unet_params, cond_b, latents_b, t_idx_b, windows, aux_b=None, *,
         domain: str, num_denoising_steps: int,
     ):
         """vmap of the sliding loop over a leading task axis — tasks within
         an alternation round are independent (reference executes them from a
         thread queue in arbitrary order, sampling_runner.py:26-43), so SPMD
         over a mesh 'data' axis is exact."""
+        if aux_b is not None:
+            def one(cond, latents, t_idx, aux):
+                return self._sliding_impl(
+                    unet_params, cond, latents, t_idx, windows, aux,
+                    domain=domain, num_denoising_steps=num_denoising_steps,
+                )
+
+            return jax.vmap(one)(cond_b, latents_b, t_idx_b, aux_b)
+
         def one(cond, latents, t_idx):
-            out = self._sliding_impl(
+            return self._sliding_impl(
                 unet_params, cond, latents, t_idx, windows,
                 domain=domain, num_denoising_steps=num_denoising_steps,
             )
-            return out[0], out[1], out[2]
 
         return jax.vmap(one)(cond_b, latents_b, t_idx_b)
 
     def sliding_denoise_batch(self, cond_b, latents_b, t_idx_b, windows, domain,
-                              mesh=None):
+                              aux_b=None, mesh=None):
         """Batched tasks, optionally sharded over a mesh 'data' axis."""
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            shard = NamedSharding(mesh, P("data"))
             put = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
             cond_b = jax.tree.map(put, cond_b)
             latents_b = put(latents_b)
             t_idx_b = put(t_idx_b)
+            if aux_b is not None:
+                aux_b = jax.tree.map(put, aux_b)
         return self._sliding_batch_j(
             self.params["unet"],
             cond_b,
             latents_b,
             jnp.asarray(t_idx_b, jnp.int32),
             jnp.asarray(windows),
+            aux_b,
             domain=domain,
             num_denoising_steps=self.sliding.num_denoising_steps,
         )

@@ -363,8 +363,15 @@ class SlidingIterativeSampler:
                             f"schedule invariant violated for task {wave[k]}"
                         )
 
+                aux_in = None
+                if self.grid_aux is not None:
+                    aux_in = jax.tree.map(
+                        lambda g: jnp.stack([g[s_, t_] for s_, t_ in cells]),
+                        self.grid_aux,
+                    )
                 lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
-                    cond_b, lat_b, ti_b, windows, wave[0].domain, mesh=mesh
+                    cond_b, lat_b, ti_b, windows, wave[0].domain,
+                    aux_b=aux_in, mesh=mesh,
                 )
                 if self.grid_aux is not None:
                     for k in range(n_real):
