@@ -173,6 +173,26 @@ class SlidingIterativeSampler:
         print(f"[sampler] resumed after round {self._completed_rounds}")
         return True
 
+    def validate_grid(self, after_rounds: int) -> None:
+        """Grid-wide consistency check between rounds: every target cell
+        must sit exactly at rounds * steps_per_alt; every input-camera cell
+        at 0. The SPMD analog of the reference's per-task assertions
+        (pipeline_diffuman4d.py:480-487, 546-551) — any scheduling or
+        write-back bug across devices/waves trips this loudly."""
+        expected = after_rounds * self.pipeline.sliding.steps_per_alt
+        tgt_rows = [self._spa_index[s] for s in self.target_spa_labels]
+        inp_rows = [self._spa_index[s] for s in self.input_spa_labels]
+        tgt = self.grid_t_idx[tgt_rows]
+        if (tgt != expected).any():
+            raise ValueError(
+                f"grid inconsistent after round {after_rounds}: target cells "
+                f"at {np.unique(tgt)}, expected {expected}"
+            )
+        if (self.grid_t_idx[inp_rows] != 0).any():
+            raise ValueError("grid inconsistent: input-camera cells advanced")
+        if not bool(jnp.isfinite(self.grid_latents.astype(jnp.float32)).all()):
+            raise ValueError("grid contains non-finite latents")
+
     # ------------------------------------------------------------------
     def prepare_tasks(self) -> list[list[Task]]:
         """Round i alternates spatial/temporal
@@ -394,6 +414,7 @@ class SlidingIterativeSampler:
                         padded[k], samples[k], jnp.asarray(lat_host[k]), ti_host[k]
                     )
             self._completed_rounds = round_idx + 1
+            self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
@@ -408,6 +429,7 @@ class SlidingIterativeSampler:
             for task_idx, task in enumerate(tasks):
                 self.execute_one_task(task, self._task_key(round_idx, task_idx))
             self._completed_rounds = round_idx + 1
+            self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
