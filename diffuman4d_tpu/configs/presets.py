@@ -76,6 +76,20 @@ class RunConfig:
     result_dir: str = "./results"
 
 
+# data presets (configs/data/*.yaml)
+DATA_PRESETS: dict[str, dict] = {
+    "dna_rendering": {
+        "data_dir": "./data/dna_rendering_processed",
+        "image_path_pat": "{data_dir}/{scene_label}/images/{spa_label}/{tem_label}.webp",
+        "skeleton_path_pat": "{data_dir}/{scene_label}/skeletons/{spa_label}/{tem_label}.webp",
+    },
+    "fdvai": {
+        "data_dir": "./data/fdvai",
+        "image_path_pat": "{data_dir}/{scene_label}/images/{spa_label}/{tem_label}.jpg",
+        "skeleton_path_pat": "{data_dir}/{scene_label}/skeletons/{spa_label}/{tem_label}.jpg",
+    },
+}
+
 # sampler presets (configs/sampler/*.yaml)
 SAMPLER_PRESETS: dict[str, dict] = {
     "sliding_default": {},
@@ -169,6 +183,9 @@ def build_config(overrides: list[str]) -> RunConfig:
                     _set_dotted(cfg, pk, pv)
         elif k == "sampler":
             apply_sampler_preset(v)
+        elif k == "data" and v in DATA_PRESETS:
+            for pk, pv in DATA_PRESETS[v].items():
+                _set_dotted(cfg.data, pk, pv)
         else:
             _set_dotted(cfg, k, parse_value(v))
 
