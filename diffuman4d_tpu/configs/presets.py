@@ -128,7 +128,7 @@ EXP_PRESETS: dict[str, dict] = {
 }
 
 
-def _set_dotted(cfg: Any, key: str, value: Any) -> None:
+def _set_dotted(cfg: Any, key: str, value: Any, raw: str | None = None) -> None:
     parts = key.split(".")
     obj = cfg
     for p in parts[:-1]:
@@ -137,7 +137,11 @@ def _set_dotted(cfg: Any, key: str, value: Any) -> None:
     if not hasattr(obj, leaf):
         raise KeyError(f"Unknown config key: {key}")
     current = getattr(obj, leaf)
-    if current is not None and not isinstance(value, type(current)):
+    # string-typed fields take the raw text untouched: YAML 1.1 would mangle
+    # labels like "0326_07" (underscored digits parse as int 32607)
+    if isinstance(current, str) and raw is not None:
+        value = raw
+    elif current is not None and not isinstance(value, type(current)):
         if isinstance(current, bool) and isinstance(value, str):
             value = value.lower() in ("1", "true", "yes")
         elif isinstance(current, (int, float)) and isinstance(value, str):
@@ -187,7 +191,7 @@ def build_config(overrides: list[str]) -> RunConfig:
             for pk, pv in DATA_PRESETS[v].items():
                 _set_dotted(cfg.data, pk, pv)
         else:
-            _set_dotted(cfg, k, parse_value(v))
+            _set_dotted(cfg, k, parse_value(v), raw=v)
 
     # interpolations (Hydra's ${...}) for the output dir
     cfg.sampler.output_dir = cfg.sampler.output_dir.replace(
