@@ -20,7 +20,6 @@ Layout: channels-last, (B, H, W, 6).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diffuman4d_tpu.models.layers import Attention, GroupNorm, ResnetBlock2D, Upsample2D
+from diffuman4d_tpu.models.layers import GroupNorm, ResnetBlock2D, Upsample2D
 
 
 @dataclass(frozen=True)

@@ -20,8 +20,6 @@ loudly with instructions rather than hanging).
 
 from __future__ import annotations
 
-import os
-import os.path as osp
 from pathlib import Path
 from typing import Any, Iterator
 

@@ -18,8 +18,6 @@ import os
 import os.path as osp
 
 import numpy as np
-from PIL import Image
-
 from diffuman4d_tpu.data.images import restore_cropped_image, to_pil
 
 

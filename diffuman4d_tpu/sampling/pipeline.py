@@ -25,7 +25,6 @@ compiled variants per run configuration.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -21,9 +21,7 @@ temporal head and pose encoder keep their warm-up semantics
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
