@@ -17,6 +17,7 @@ module structure, so any failure here is a loud KeyError, not silent drift.
 from __future__ import annotations
 
 import json
+import os
 import os.path as osp
 import re
 
@@ -337,6 +338,115 @@ def export_unet_torch_keys(params: dict) -> dict[str, np.ndarray]:
         else:
             raise KeyError(f"unknown leaf {leaf} at {path}")
     return out
+
+
+def export_vae_torch_keys(params: dict) -> dict[str, np.ndarray]:
+    """flax VAE params -> diffusers AutoencoderKL state dict (numpy)."""
+    flat = _flatten(params)
+    out = {}
+    for path, val in flat.items():
+        parts = path.split("/")
+        leaf = parts[-1]
+        body = parts[:-1]
+
+        if body[0] in ("quant_conv", "post_quant_conv"):
+            name = body[0]
+        elif body[0] in ("encoder", "decoder"):
+            side = body[0]
+            head = body[1]
+            if head in ("conv_in", "conv_out"):
+                name = f"{side}.{head}"
+            elif head == "conv_norm_out":
+                name = f"{side}.conv_norm_out"
+            elif head == "mid_block":
+                sub = body[2]
+                if sub.startswith("resnets_"):
+                    rest = _unmap_block_path(body[2:])
+                    name = f"{side}.mid_block.{rest}"
+                elif sub == "attention":
+                    amap = {
+                        "group_norm": "group_norm",
+                        "to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+                        "to_out": "to_out.0",
+                    }
+                    name = f"{side}.mid_block.attentions.0.{amap[body[3]]}"
+                else:
+                    raise KeyError(f"unmapped vae mid param: {path}")
+            elif head.startswith(("down_", "up_")):
+                # down_{i}_resnets_{j} | down_{i}_downsample | up_{i}_upsample
+                bits = head.split("_")
+                kind, idx = bits[0], bits[1]
+                if "resnets" in head:
+                    j = bits[-1]
+                    name = f"{side}.{kind}_blocks.{idx}.resnets.{j}"
+                elif head.endswith("downsample"):
+                    name = f"{side}.{kind}_blocks.{idx}.downsamplers.0"
+                elif head.endswith("upsample"):
+                    name = f"{side}.{kind}_blocks.{idx}.upsamplers.0"
+                else:
+                    raise KeyError(f"unmapped vae block param: {path}")
+                name += "." + _unmap_block_path(body[2:]) if len(body) > 2 else ""
+            else:
+                raise KeyError(f"unmapped vae param: {path}")
+        else:
+            raise KeyError(f"unmapped vae param: {path}")
+
+        name = name.rstrip(".")
+        if leaf == "kernel":
+            if val.ndim == 4:
+                out[f"{name}.weight"] = np.transpose(val, (3, 2, 0, 1))
+            else:
+                out[f"{name}.weight"] = np.transpose(val, (1, 0))
+        elif leaf == "scale":
+            out[f"{name}.weight"] = val
+        elif leaf == "bias":
+            out[f"{name}.bias"] = val
+        else:
+            raise KeyError(f"unknown leaf {leaf} at {path}")
+    return out
+
+
+def save_hf_checkpoint(
+    model_dir: str,
+    params: dict,
+    unet_config,
+    vae_config,
+    scheduler_config: dict | None = None,
+) -> str:
+    """Write a diffusers-layout checkpoint directory loadable by both this
+    framework and the reference implementation."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    def to_np32(t):
+        # ascontiguousarray: the exporters return transposed views, and
+        # safetensors serializes the raw buffer without honoring strides
+        return {k: np.ascontiguousarray(v, np.float32) for k, v in t.items()}
+
+    unet_sd = to_np32(export_unet_torch_keys(params["unet"]["params"]))
+    vae_sd = to_np32(export_vae_torch_keys(params["vae"]["params"]))
+
+    os.makedirs(osp.join(model_dir, "unet"), exist_ok=True)
+    os.makedirs(osp.join(model_dir, "vae"), exist_ok=True)
+    os.makedirs(osp.join(model_dir, "scheduler"), exist_ok=True)
+    save_file(unet_sd, osp.join(model_dir, "unet", "diffusion_pytorch_model.safetensors"))
+    save_file(vae_sd, osp.join(model_dir, "vae", "diffusion_pytorch_model.safetensors"))
+
+    ucfg = dataclasses.asdict(unet_config)
+    ucfg["_class_name"] = "UNetMultiviewConditionModel"
+    # invert the diffusers naming-bug mapping on the way out
+    ucfg["attention_head_dim"] = list(ucfg.pop("num_attention_heads"))
+    with open(osp.join(model_dir, "unet", "config.json"), "w") as f:
+        json.dump(ucfg, f, indent=2)
+    vcfg = dataclasses.asdict(vae_config)
+    vcfg["_class_name"] = "AutoencoderKL"
+    with open(osp.join(model_dir, "vae", "config.json"), "w") as f:
+        json.dump(vcfg, f, indent=2)
+    sched = scheduler_config or {"_class_name": "DDIMScheduler"}
+    with open(osp.join(model_dir, "scheduler", "scheduler_config.json"), "w") as f:
+        json.dump(sched, f, indent=2)
+    return model_dir
 
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,57 @@ def test_vae_matches_independent_torch_forward():
     scaled = z.transpose(0, 2, 3, 1) * vae.config.scaling_factor
     dec = vae.apply(params, jnp.asarray(scaled), method="decode")
     np.testing.assert_allclose(np.asarray(dec), dec_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_vae_export_roundtrip():
+    from diffuman4d_tpu.io.checkpoints import export_vae_torch_keys
+
+    rng = np.random.default_rng(5)
+    sd = {k: v.numpy() for k, v in _state_dict(rng).items()}
+    back = export_vae_torch_keys(convert_vae_torch_keys(sd))
+    assert set(back) == set(sd), (
+        sorted(set(sd) - set(back))[:5], sorted(set(back) - set(sd))[:5]
+    )
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_save_and_reload_hf_checkpoint(tmp_path):
+    """Full circle: random flax params -> HF directory -> load_hf_checkpoint
+    -> identical pytree."""
+    import jax
+
+    from diffuman4d_tpu.io.checkpoints import load_hf_checkpoint, save_hf_checkpoint
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+
+    ucfg = UNetConfig(
+        in_channels=11, block_out_channels=(8, 16, 16, 16),
+        num_attention_heads=(1, 2, 2, 2), layers_per_block=1, norm_num_groups=4,
+        enable_pose_encoder=True, enable_tem_embeds=True,
+    )
+    vcfg = VAEConfig(block_out_channels=CH, layers_per_block=1)
+    unet = UNetMultiviewCondition(ucfg, dtype=jnp.float32)
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+                          jnp.zeros((2, 64, 64, 3)), num_frames=2),
+        "vae": vae.init(key, jnp.zeros((1, 32, 32, 3))),
+    }
+    d = str(tmp_path / "ckpt")
+    save_hf_checkpoint(d, params, ucfg, vcfg, {"_class_name": "DDIMScheduler"})
+    ucfg2, vcfg2, sched, params2 = load_hf_checkpoint(d, dtype=jnp.float32)
+    assert ucfg2 == ucfg
+    assert vcfg2 == vcfg
+    assert sched["_class_name"] == "DDIMScheduler"
+    flat1 = jax.tree_util.tree_leaves_with_path(params["unet"]["params"])
+    p2 = params2["unet"]["params"]
+
+    def get(tree, path):
+        for k in path:
+            tree = tree[k.key]
+        return tree
+
+    for path, val in flat1:
+        np.testing.assert_allclose(np.asarray(get(p2, path)), np.asarray(val),
+                                   atol=1e-6, err_msg=str(path))
