@@ -34,11 +34,22 @@ def _parse_opencv_yaml(path: str) -> dict:
         text = _strip_yaml_directives(f.read())
 
     data: dict = {}
-    # names: ["00", "01", ...] possibly spanning multiple lines
+    # names: either flow style ["00", "01"] or OpenCV's block style
+    #   names:
+    #      - "00"
     m = re.search(r"names:\s*\[(.*?)\]", text, re.DOTALL)
     if m:
-        names = [s.strip().strip("\"'") for s in m.group(1).split(",") if s.strip()]
-        data["names"] = names
+        data["names"] = [
+            s.strip().strip("\"'") for s in m.group(1).split(",") if s.strip()
+        ]
+    else:
+        m = re.search(r"^names:\s*\n((?:\s*-\s*.+\n?)+)", text, re.MULTILINE)
+        if m:
+            data["names"] = [
+                ln.split("-", 1)[1].strip().strip("\"'")
+                for ln in m.group(1).splitlines()
+                if "-" in ln
+            ]
 
     # Matrices: key:\n  rows: r\n  cols: c\n  dt: d\n  data: [ ... ]
     pat = re.compile(

@@ -285,3 +285,75 @@ class TestDeviceResize:
         ).permute(0, 2, 3, 1).numpy()
         got = np.asarray(resize_nearest(jnp.asarray(x), 5, 7))
         np.testing.assert_allclose(got, ref)
+
+
+class TestEasyvolcap:
+    def test_parse_opencv_yaml_cameras(self, tmp_path):
+        from diffuman4d_tpu.data.easyvolcap_io import read_easyvolcap_cameras
+
+        intri = """%YAML:1.0
+---
+names:
+   - "00"
+   - "01"
+K_00: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [ 800., 0., 320., 0., 800., 240., 0., 0., 1. ]
+H_00: 480
+W_00: 640
+K_01: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [ 700., 0., 300., 0., 700., 220., 0., 0., 1. ]
+H_01: 480
+W_01: 640
+"""
+        extri = """%YAML:1.0
+---
+names:
+   - "00"
+   - "01"
+R_00: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [ 1., 0., 0., 0., 1., 0., 0., 0., 1. ]
+T_00: !!opencv-matrix
+   rows: 3
+   cols: 1
+   dt: d
+   data: [ 0.1, 0.2, 0.3 ]
+R_01: !!opencv-matrix
+   rows: 3
+   cols: 1
+   dt: d
+   data: [ 0., 0., 1.5707963268 ]
+T_01: !!opencv-matrix
+   rows: 3
+   cols: 1
+   dt: d
+   data: [ 0., 0., 0. ]
+"""
+        (tmp_path / "intri.yml").write_text(intri)
+        (tmp_path / "extri.yml").write_text(extri)
+        cams = read_easyvolcap_cameras(str(tmp_path))
+        assert set(cams) == {"00", "01"}
+        np.testing.assert_allclose(cams["00"]["K"][0, 0], 800.0)
+        assert cams["00"]["H"] == 480 and cams["00"]["W"] == 640
+        np.testing.assert_allclose(cams["00"]["RT"][:, 3], [0.1, 0.2, 0.3])
+        # rodrigues: 90 deg about z
+        R = cams["01"]["RT"][:, :3]
+        np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+        # end-to-end through parse_cameras
+        from diffuman4d_tpu.data.cameras import parse_cameras
+
+        parsed = parse_cameras(str(tmp_path), normalize_scene=False)
+        assert set(parsed) == {"00", "01"}
+        # c2w pose inverts the w2c RT
+        w2c = np.eye(4)
+        w2c[:3, :] = cams["00"]["RT"]
+        np.testing.assert_allclose(parsed["00"].pose, np.linalg.inv(w2c), atol=1e-6)
