@@ -23,12 +23,52 @@ import time
 BASELINE_CAM_FRAMES_PER_SEC = 0.55  # single-A100 estimate, see BASELINE.md
 
 
+_WATCHDOG = None  # keep a reference so the child isn't GC-reaped
+
+
+def _arm_watchdog(seconds: int = 3000) -> None:
+    """If the TPU service is wedged (see STATUS_r1.md), don't hang the
+    driver forever. A signal handler can't fire while the main thread is
+    stuck inside a GIL-holding PJRT call, so the watchdog is a separate
+    process sharing our stdout: on timeout it emits the parseable failure
+    line itself and SIGKILLs us."""
+    import subprocess
+    import sys
+
+    global _WATCHDOG
+    line = json.dumps(
+        {
+            "metric": "cam_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "TIMEOUT: TPU compile/execute service unresponsive "
+            f"for {seconds}s (environment outage, see STATUS_r1.md)",
+            "vs_baseline": 0.0,
+        }
+    )
+    code = (
+        "import os, sys, time, signal\n"
+        f"pid = {os.getpid()}\n"
+        f"time.sleep({seconds})\n"
+        "try:\n"
+        "    os.kill(pid, 0)\n"
+        "except OSError:\n"
+        "    sys.exit(0)\n"  # parent finished; do nothing
+        f"print({line!r}, flush=True)\n"
+        "os.kill(pid, signal.SIGKILL)\n"
+    )
+    _WATCHDOG = subprocess.Popen([sys.executable, "-c", code])
+    import atexit
+
+    atexit.register(_WATCHDOG.kill)
+
+
 def main() -> None:
     import jax
 
     from diffuman4d_tpu.utils.jax_setup import setup as _jax_setup
 
     _jax_setup()
+    _arm_watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "3000")))
 
     os.environ.setdefault("BENCH_SCENE_DIR", "/tmp/d4d_bench_scene")
     import numpy as np
