@@ -144,12 +144,19 @@ class SlidingIterativeSampler:
 
         os.makedirs(osp.dirname(self._state_path), exist_ok=True)
         lat = np.asarray(self.grid_latents, np.float32)
+        extra = {}
+        if self.grid_aux is not None:
+            # dpm++ multistep history must survive resume too
+            extra = {
+                f"aux_{k}": np.asarray(v) for k, v in self.grid_aux.items()
+            }
         np.savez_compressed(
             self._state_path + ".tmp.npz",
             latents=lat,
             t_idx=self.grid_t_idx,
             completed_rounds=self._completed_rounds,
             seed=self.seed,
+            **extra,
         )
         os.replace(self._state_path + ".tmp.npz", self._state_path)
 
@@ -167,6 +174,15 @@ class SlidingIterativeSampler:
             )
             print(log_msg)
             return False
+        if self.grid_aux is not None:
+            aux_keys = {k[4:] for k in data.files if k.startswith("aux_")}
+            if aux_keys != set(self.grid_aux):
+                print("[sampler] state lacks multistep history — ignoring state")
+                return False
+            self.grid_aux = {
+                k: jnp.asarray(data[f"aux_{k}"], self.grid_aux[k].dtype)
+                for k in self.grid_aux
+            }
         self.grid_latents = jnp.asarray(data["latents"], self.grid_latents.dtype)
         self.grid_t_idx = data["t_idx"].astype(np.int32)
         self._completed_rounds = int(data["completed_rounds"])

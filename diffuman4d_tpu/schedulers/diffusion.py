@@ -272,7 +272,14 @@ class Scheduler:
         coef_x0 = jnp.sqrt(a_prev) * current_beta / (1.0 - a_t)
         coef_xt = jnp.sqrt(current_alpha) * (1.0 - a_prev) / (1.0 - a_t)
         mean = coef_x0 * x0 + coef_xt * x
-        var = jnp.clip((1.0 - a_prev) / (1.0 - a_t) * current_beta, 1e-20, None)
+        vt = self.config.variance_type
+        if vt == "fixed_small":
+            var = (1.0 - a_prev) / (1.0 - a_t) * current_beta
+        elif vt == "fixed_large":
+            var = current_beta
+        else:
+            raise NotImplementedError(f"ddpm variance_type {vt}")
+        var = jnp.clip(var, 1e-20, None)
         if key is None:
             raise ValueError("ddpm step requires a key")
         noise = jax.random.normal(key, x.shape, jnp.float32)
@@ -319,7 +326,8 @@ class Scheduler:
 
         t = jnp.take(self.timesteps, idx)
         step_ratio = self.config.num_train_timesteps // self.num_inference_steps
-        t_prev2 = jnp.maximum(t + step_ratio, 0)  # the step before t
+        # the inference step BEFORE t sits at a larger train timestep
+        t_prev2 = jnp.minimum(t + step_ratio, self.config.num_train_timesteps - 1)
         t_next = jnp.maximum(t - step_ratio, 0)
         is_last = (t - step_ratio) < 0
 
