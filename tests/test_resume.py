@@ -101,3 +101,30 @@ def test_mismatched_state_ignored(setup, tmp_path):
         input_spa_labels=[0, 3], seed=99,
     )
     assert s2._completed_rounds == 0
+
+
+def test_dpm_resume_preserves_history(setup, tmp_path):
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    dataset, base_pipe = setup
+    pipe = Diffuman4DPipeline(
+        base_pipe.unet, base_pipe.vae,
+        Scheduler(SchedulerConfig(kind="dpm++")),
+        base_pipe.params, sliding=base_pipe.sliding, image_size=64, vae_batch=4,
+    )
+    out = tmp_path / "dpmres"
+    s1 = _make_sampler(dataset, pipe, out)
+    # run round 1 only, save
+    for i, task in enumerate(s1.all_tasks[0]):
+        s1.execute_one_task(task, s1._task_key(0, i))
+    s1._completed_rounds = 1
+    s1.save_state()
+    prev = np.asarray(s1.grid_aux["prev_x0"])
+    has = np.asarray(s1.grid_aux["has_prev"])
+
+    s2 = _make_sampler(dataset, pipe, out)
+    assert s2._completed_rounds == 1
+    np.testing.assert_allclose(np.asarray(s2.grid_aux["prev_x0"]), prev, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s2.grid_aux["has_prev"]), has)
