@@ -72,6 +72,108 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, num_kv)
         o_ref[:] = (acc_s[:] / l_s[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_v2(
+    q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, num_kmaj, k_inner
+):
+    """Two-level KV blocking: the grid delivers a large k-major block to
+    VMEM; an inner loop streams k_inner-wide chunks through the online
+    softmax. Fewer grid steps -> less per-step fixed cost than v1."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[:]  # (bq, d)
+    n_inner = k_ref.shape[0] // k_inner
+
+    def inner(ki, _):
+        k = k_ref[pl.ds(ki * k_inner, k_inner), :]
+        v = v_ref[pl.ds(ki * k_inner, k_inner), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        m_prev = m_s[:, :1]
+        l_prev = l_s[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_s[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(p, -1, keepdims=True), l_s.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_s[:] = acc_s[:] * alpha + pv
+        m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_inner, inner, 0)
+
+    @pl.when(j == num_kmaj - 1)
+    def _finalize():
+        o_ref[:] = (acc_s[:] / l_s[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k_major", "block_k")
+)
+def flash_attention_v2(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1024,
+    block_k_major: int = 2048,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    block_q = min(block_q, sq)
+    block_k_major = min(block_k_major, sk)
+    block_k = min(block_k, block_k_major)
+    if sq % block_q or sk % block_k_major or block_k_major % block_k:
+        raise ValueError(
+            f"shapes ({sq}, {sk}) not divisible by blocks "
+            f"({block_q}, {block_k_major}, {block_k})"
+        )
+
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    num_q = sq // block_q
+    num_kmaj = sk // block_k_major
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_v2, scale=scale, num_kmaj=num_kmaj, k_inner=block_k
+        ),
+        grid=(b * h, num_q, num_kmaj),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((None, block_k_major, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((None, block_k_major, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qr.size + kr.size + vr.size + b * h * sq * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
 def flash_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     """Whether shapes divide cleanly into flash blocks (else XLA fallback)."""
     if q.ndim != 4 or k.shape != v.shape:

@@ -72,3 +72,50 @@ def test_flash_multiblock_softmax_stability():
     got = _interp_flash(q, k, v, block_q=32, block_k=32)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def _interp_flash_v2(q, k, v, block_q=64, block_k_major=128, block_k=32):
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops import flash_attention as fa
+
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    num_kmaj = sk // block_k_major
+    out = pl.pallas_call(
+        functools.partial(fa._flash_kernel_v2, scale=scale, num_kmaj=num_kmaj,
+                          k_inner=block_k),
+        grid=(b * h, sq // block_q, num_kmaj),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((None, block_k_major, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((None, block_k_major, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=True,
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def test_flash_v2_matches_xla_interpret():
+    from diffuman4d_tpu.ops.attention import _xla_attention
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(2, 256, 2, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 256, 2, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 256, 2, 32)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    got = _interp_flash_v2(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
