@@ -127,6 +127,10 @@ def parse_cameras(
         raise ValueError(f"Unknown coord_system: {coord_system}")
 
     if normalize_scene:
+        # parity with camera_parser.py:78: the probe path is joined onto
+        # camera_path itself, so persisted normalization is only ever found
+        # for easyvolcap DIRECTORY inputs (for transforms.json inputs the
+        # reference also never finds it)
         norm_json = f"{camera_path}/scene_norm.json"
         center = scale = None
         if os.path.isfile(norm_json):

@@ -186,6 +186,10 @@ class ImageEvaluator:
                 top = min(b[1] for b in obbs)
                 right = max(b[2] for b in obbs)
                 bottom = max(b[3] for b in obbs)
+                # NOTE: gt.size includes the channel axis, so this is
+                # effectively a 6%-of-pixels threshold — intentional parity
+                # with the reference, which compares against gt.numel()
+                # on a (3, H, W) tensor (metric_utils.py:120)
                 if (right - left) * (bottom - top) < gt.size * 0.02:
                     raise ValueError("Cropped region too small; check the data.")
                 gt = gt[top:bottom, left:right]

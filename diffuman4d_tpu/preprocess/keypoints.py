@@ -117,6 +117,9 @@ def udp_decode(
     keypoints, scores = get_heatmap_maximum(heatmaps)
     keypoints = refine_keypoints_dark_udp(keypoints, heatmaps, blur_kernel_size)
     W, H = heatmap_size
+    # parity with pose_utils.py:178: the reference rescales by
+    # input_size/(heatmap_size - 1) (not the unbiased (in-1)/(hm-1)); the
+    # sapiens checkpoints are trained under this convention
     keypoints = keypoints / np.array([W - 1, H - 1]) * np.array(input_size)
     return keypoints, scores
 
