@@ -73,39 +73,26 @@ def main(argv: list[str] | None = None) -> int:
         save_debug_grids=cfg.sampler.save_debug_grids,
     )
 
+    from diffuman4d_tpu.sampling.runner import SamplingRunner
+
+    runner = SamplingRunner(sampler)
+
     if cfg.sampling:
-        import jax
-
         t0 = time.time()
-        if len(jax.devices()) > 1:
-            from diffuman4d_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh()
-            log.info("SPMD sampling over %d devices", mesh.shape["data"])
-            sampler.execute_tasks_parallel(mesh)
-        else:
-            sampler.execute_tasks()
+        runner.inference()
         log.info("sampling finished in %.1fs", time.time() - t0)
 
     if cfg.to_nerfstudio:
-        from diffuman4d_tpu.io.nerfstudio import export_to_nerfstudio
-
-        export_to_nerfstudio(
-            scene_dir=osp.join(osp.expandvars(cfg.data.data_dir), cfg.data.scene_label),
-            output_dir=cfg.sampler.output_dir,
-            input_spa_labels=sampler.input_spa_labels,
+        runner.to_nerfstudio(
+            osp.join(osp.expandvars(cfg.data.data_dir), cfg.data.scene_label)
         )
 
     if cfg.evaluating:
-        from diffuman4d_tpu.data.metrics import evaluate_results
-
-        metrics = evaluate_results(
+        metrics = runner.evaluate(
             data_dir=osp.expandvars(cfg.data.data_dir),
             scene_label=cfg.data.scene_label,
-            output_dir=cfg.sampler.output_dir,
-            input_spa_labels=sampler.input_spa_labels,
         )
-        log.info("metrics: %s", {k: v for k, v in metrics.items() if k != "per_image"})
+        log.info("metrics mean: %s", metrics["mean"])
     return 0
 
 
