@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(cfg.sampler.output_dir, exist_ok=True)
     with open(osp.join(cfg.sampler.output_dir, "config_tree.log"), "w") as f:
         f.write(config_tree(cfg))
+    # per-run job.log (reference: hydra colorlog job.log, configs/hydra/
+    # default.yaml:4-19)
+    fh = logging.FileHandler(osp.join(cfg.sampler.output_dir, "job.log"))
+    fh.setFormatter(
+        logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s")
+    )
+    logging.getLogger().addHandler(fh)
 
     from diffuman4d_tpu.data.dataset import SpaTemDataset
     from diffuman4d_tpu.sampling.loader import load_pipeline
