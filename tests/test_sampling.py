@@ -247,3 +247,22 @@ class TestEndToEnd:
         )
         sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
         assert (sampler.grid_t_idx[[1, 2, 4, 5], 0] == sliding.steps_per_alt).all()
+
+    def test_explicit_label_lists(self, tiny_setup, tmp_path):
+        # spa_labels/tem_labels given as explicit lists instead of ranges
+        # (sliding_iterative_sampler.py:49-63)
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        sliding = SlidingConfig(window_size=2, alternation_rounds=1, guidance_scale=1.0)
+        sampler = SlidingIterativeSampler(
+            dataset, make_pipeline(sliding),
+            output_dir=str(tmp_path / "lists"),
+            spa_label_range=None, tem_label_range=None,
+            spa_labels=[0, 1, 2, 3, 4, 5],
+            tem_labels=[0, 2],
+            input_spa_labels=[0, 3],
+        )
+        assert sampler.spa_labels == ["00", "01", "02", "03", "04", "05"]
+        assert sampler.tem_labels == ["000000", "000002"]
+        assert len(sampler.all_tasks[0]) == 2  # one spatial task per frame
