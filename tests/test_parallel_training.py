@@ -182,3 +182,32 @@ class TestTraining:
         # the loss can change; but the loss must remain finite and the
         # masked weighting means a zero-target model yields loss == E[eps^2]
         assert np.isfinite(float(l0))
+
+    def test_parallel_with_padded_wave(self, tiny_sampling, tmp_path):
+        """Task count (3 frames) not divisible by wave size (2 devices):
+        the padded duplicate must not corrupt the grid."""
+        from diffuman4d_tpu.data.dataset import SpaTemDataset
+        from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, pipeline = tiny_sampling
+        data_dir = str(tmp_path / "synth3")
+        make_synthetic_scene(data_dir, "scene0", num_cams=6, num_frames=3, image_size=64)
+        ds3 = SpaTemDataset(data_dir=data_dir, scene_label="scene0", height=64, width=64)
+
+        def run(parallel, out):
+            s = SlidingIterativeSampler(
+                ds3, pipeline, output_dir=str(out),
+                spa_label_range=(0, 6, 1), tem_label_range=(0, 3, 1),
+                input_spa_labels=[0, 3],
+            )
+            if parallel:
+                s.execute_tasks_parallel(make_mesh(data=2, model=1))
+            else:
+                s.execute_tasks()
+            return np.asarray(s.grid_latents), s.grid_t_idx.copy()
+
+        lat_seq, ti_seq = run(False, tmp_path / "seq3")
+        lat_par, ti_par = run(True, tmp_path / "par3")
+        np.testing.assert_array_equal(ti_seq, ti_par)
+        np.testing.assert_allclose(lat_seq, lat_par, atol=2e-5)
