@@ -62,12 +62,74 @@ def _arm_watchdog(seconds: int = 3000) -> None:
     atexit.register(_WATCHDOG.kill)
 
 
+def smoke(unet, vae, params) -> None:
+    """Cheap bench tier: one CFG window step + VAE encode/decode at full
+    size, synthetic device-resident inputs (no scene/dataset needed). Lands
+    a partial number even when the full run can't finish (flaky service,
+    tight window). Emitted before the full tier; standalone via
+    BENCH_MODE=smoke."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = unet.config
+    L, hw = 16, 128  # spatial window, CFG-doubled batch (SURVEY §3.3)
+    B = 2 * L
+
+    def sync(x):
+        return float(x.astype(jnp.float32).sum())
+
+    fwd = jax.jit(
+        lambda p, x, t, sk, tem: unet.apply(
+            p, x, t, skeletons=sk, tem_indices=tem, num_frames=L
+        )
+    )
+    x = jnp.zeros((B, hw, hw, cfg.in_channels), jnp.bfloat16)
+    sk = jnp.zeros((B, hw * 8, hw * 8, 3), jnp.bfloat16)
+    t = jnp.full((B,), 500, jnp.int32)
+    tem = jnp.zeros((B,), jnp.int32)
+    sync(fwd(params["unet"], x, t, sk, tem))  # compile
+    t0 = time.perf_counter()
+    sync(fwd(params["unet"], x, t, sk, tem))
+    step_s = time.perf_counter() - t0
+
+    enc = jax.jit(lambda p, x, k: vae.apply(p, x, k, method="encode"))
+    dec = jax.jit(lambda p, z: vae.apply(p, z, method="decode"))
+    img = jnp.zeros((4, 1024, 1024, 3), jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    z = enc(params["vae"], img, key)
+    sync(z)  # compile
+    t0 = time.perf_counter()
+    sync(enc(params["vae"], img, key))
+    enc_s = (time.perf_counter() - t0) / img.shape[0]
+    zd = z[:2]
+    sync(dec(params["vae"], zd))  # compile
+    t0 = time.perf_counter()
+    sync(dec(params["vae"], zd))
+    dec_s = (time.perf_counter() - t0) / zd.shape[0]
+
+    print(
+        json.dumps(
+            {
+                "metric": "smoke_window_step_sec",
+                "value": round(step_s, 4),
+                "unit": (
+                    "sec/CFG-window-step (spatial, batch 32 @128^2) | "
+                    f"vae_encode {enc_s:.3f} s/img | vae_decode {dec_s:.3f} s/img @1024^2"
+                ),
+                "vs_baseline": round(1.4 / step_s, 3),  # ~1.4 s/step A100 est
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     import jax
 
     from diffuman4d_tpu.utils.jax_setup import setup as _jax_setup
 
     _jax_setup()
+    smoke_only = os.environ.get("BENCH_MODE", "") == "smoke"
     _arm_watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "3000")))
 
     os.environ.setdefault("BENCH_SCENE_DIR", "/tmp/d4d_bench_scene")
@@ -83,6 +145,14 @@ def main() -> None:
     from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
 
     num_cams, size = 48, 1024
+    unet = UNetMultiviewCondition(UNetConfig(), dtype=jax.numpy.bfloat16)
+    vae = AutoencoderKL(VAEConfig(), dtype=jax.numpy.bfloat16)
+    params = init_random_params(unet, vae, size, seed=0)
+
+    smoke(unet, vae, params)
+    if smoke_only:
+        return
+
     scene_dir = os.environ["BENCH_SCENE_DIR"]
     if not osp.isfile(osp.join(scene_dir, "scene", "transforms.json")):
         make_synthetic_scene(
@@ -92,8 +162,6 @@ def main() -> None:
     dataset = SpaTemDataset(
         data_dir=scene_dir, scene_label="scene", height=size, width=size
     )
-    unet = UNetMultiviewCondition(UNetConfig(), dtype=jax.numpy.bfloat16)
-    vae = AutoencoderKL(VAEConfig(), dtype=jax.numpy.bfloat16)
     sliding = SlidingConfig(
         window_size=12,
         sliding_stride=1,
@@ -102,7 +170,6 @@ def main() -> None:
         alternation_rounds=1,
         guidance_scale=2.0,
     )
-    params = init_random_params(unet, vae, size, seed=0)
     pipeline = Diffuman4DPipeline(
         unet,
         vae,

@@ -36,7 +36,12 @@ class DataConfig:
 class ModelConfig:
     # configs/model/diffuman4d.yaml (HF repo / local checkpoint dir)
     model_dir: str = "./models/diffuman4d"
-    dtype: str = "bf16"  # bf16 | fp32
+    dtype: str = "bf16"  # compute dtype: bf16 | fp32
+    # checkpoint storage dtype; "fp32" keeps full-precision weights in HBM
+    # (compute still casts to `dtype` at apply time) for PSNR-parity work.
+    # Default mirrors the reference's bf16 from_pretrained
+    # (sampling_utils.py:28-35).
+    param_dtype: str = "bf16"  # bf16 | fp32
     attn_implementation: str = "auto"  # auto | pallas | xla
     # architecture when model_dir has no checkpoint (random-init demo mode):
     # "full" = production SD2.1 shape, "tiny" = smoke-test shape

@@ -504,6 +504,12 @@ def vae_config_from_hf(cfg: dict) -> VAEConfig:
 def load_hf_checkpoint(model_dir: str, dtype=jnp.bfloat16):
     """Load a diffusers-layout checkpoint directory.
 
+    ``dtype`` is the *storage* dtype for all params (bf16 default matches
+    the reference's bf16 ``from_pretrained``, sampling_utils.py:28-35).
+    Pass ``jnp.float32`` to keep full-precision weights; the model's
+    compute dtype is applied at apply-time by flax, so fp32 storage + bf16
+    compute follows the repo's "fp32 params, bf16 compute" convention.
+
     Returns (unet_config, vae_config, scheduler_config_dict, params)."""
     def read_json(p):
         with open(p) as f:

@@ -90,6 +90,11 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
     implementation: str = "auto"
+    # context-parallel mode ("cp"): runs inside shard_map with the token
+    # sequence sharded over mesh axis `cp_axis`; `cp_groups` = number of
+    # independent sequences in the global batch (2 under CFG)
+    cp_axis: str = "model"
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -110,7 +115,14 @@ class Attention(nn.Module):
         k = k.reshape(b, sk, self.num_heads, self.head_dim)
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
 
-        out = dot_product_attention(q, k, v, implementation=self.implementation)
+        if self.implementation == "cp":
+            from diffuman4d_tpu.ops.context_parallel import cp_attention_grouped
+
+            out = cp_attention_grouped(
+                q, k, v, axis=self.cp_axis, groups=self.cp_groups
+            )
+        else:
+            out = dot_product_attention(q, k, v, implementation=self.implementation)
         out = out.reshape(b, sq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -46,11 +46,20 @@ class MultiviewTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    # "cp" mode: module runs inside shard_map with frames sharded over the
+    # mesh `model` axis; only attn1's 3D regrouped path communicates
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int = 1) -> jnp.ndarray:
         # x: (B*T, HW, C) where T == num_frames
         bt, hw, c = x.shape
+
+        cp = self.attn_implementation == "cp"
+        # in cp mode, per-frame (2D) attention is shard-local — only the
+        # 3D regrouped attention needs the K/V all-gather
+        local_impl = "auto" if cp else self.attn_implementation
+        impl_3d = "cp" if (cp and num_frames > 1) else local_impl
 
         # 1. 3D self-attention over (t hw) tokens
         norm_x = LayerNorm32(name="norm1")(x)
@@ -60,7 +69,8 @@ class MultiviewTransformerBlock(nn.Module):
             self.num_heads,
             self.head_dim,
             dtype=self.dtype,
-            implementation=self.attn_implementation,
+            implementation=impl_3d,
+            cp_groups=self.cp_groups,
             name="attn1",
         )(norm_x)
         if num_frames > 1:
@@ -74,7 +84,7 @@ class MultiviewTransformerBlock(nn.Module):
             self.num_heads,
             self.head_dim,
             dtype=self.dtype,
-            implementation=self.attn_implementation,
+            implementation=local_impl,
             name="attn2",
         )(norm_x)
         x = x + attn_out
@@ -98,6 +108,7 @@ class TransformerMultiview(nn.Module):
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int = 1) -> jnp.ndarray:
@@ -120,6 +131,7 @@ class TransformerMultiview(nn.Module):
                 self.head_dim,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
+                cp_groups=self.cp_groups,
                 name=f"blocks_{i}",
             )(x, num_frames=num_frames)
 

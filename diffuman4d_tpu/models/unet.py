@@ -72,6 +72,11 @@ class UNetMultiviewCondition(nn.Module):
     config: UNetConfig = field(default_factory=UNetConfig)
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    # context-parallel mode ("cp"): the module runs inside shard_map with
+    # the frame axis sharded over the mesh "model" axis; cp_groups is the
+    # number of independent sequences in the global batch (2 under CFG).
+    # See parallel/cp_unet.py for the wrapper that sets this up.
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -152,6 +157,7 @@ class UNetMultiviewCondition(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     dtype=self.dtype,
                     attn_implementation=self.attn_implementation,
+                    cp_groups=self.cp_groups,
                     name=f"down_blocks_{i}",
                 )(x, emb, num_frames=nf)
             res_states.extend(states)
@@ -165,6 +171,7 @@ class UNetMultiviewCondition(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             dtype=self.dtype,
             attn_implementation=self.attn_implementation,
+            cp_groups=self.cp_groups,
             name="mid_block",
         )(x, emb, num_frames=num_frames)
 
@@ -202,6 +209,7 @@ class UNetMultiviewCondition(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     dtype=self.dtype,
                     attn_implementation=self.attn_implementation,
+                    cp_groups=self.cp_groups,
                     name=f"up_blocks_{i}",
                 )(x, res_states, emb, num_frames=nf)
 

@@ -56,6 +56,7 @@ class CrossAttnDownBlockMultiview(nn.Module):
     use_linear_projection: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, num_frames: int = 1):
@@ -73,6 +74,7 @@ class CrossAttnDownBlockMultiview(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
+                cp_groups=self.cp_groups,
                 name=f"attentions_{i}",
             )(x, num_frames=num_frames)
             output_states.append(x)
@@ -91,6 +93,7 @@ class UNetMidBlockMultiviewCrossAttn(nn.Module):
     use_linear_projection: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, num_frames: int = 1):
@@ -105,6 +108,7 @@ class UNetMidBlockMultiviewCrossAttn(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
+                cp_groups=self.cp_groups,
                 name=f"attentions_{i}",
             )(x, num_frames=num_frames)
             x = ResnetBlock2D(
@@ -149,6 +153,7 @@ class CrossAttnUpBlockMultiview(nn.Module):
     use_linear_projection: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     attn_implementation: str = "auto"
+    cp_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -174,6 +179,7 @@ class CrossAttnUpBlockMultiview(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 dtype=self.dtype,
                 attn_implementation=self.attn_implementation,
+                cp_groups=self.cp_groups,
                 name=f"attentions_{i}",
             )(x, num_frames=num_frames)
         if self.add_upsample:

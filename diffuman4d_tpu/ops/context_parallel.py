@@ -37,10 +37,44 @@ def cp_dot_product_attention(
     return dot_product_attention(q, k_full, v_full, implementation=implementation)
 
 
+def cp_attention_grouped(
+    q: jnp.ndarray,  # (B, S_local, H, D) — this shard's query tokens
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis: str = "model",
+    groups: int = 1,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Context-parallel attention for the UNet's 3D attention under
+    ``shard_map`` with the window's *frame axis* sharded over ``axis``.
+
+    The global batch is ``groups`` independent sequences laid out b-major
+    (the CFG negative/positive halves, pipeline_diffuman4d.py:382-386) and
+    each shard holds contiguous frames of exactly one group. K/V are
+    all-gathered over the mesh axis (cheap: ~C·S·2B vs the never-
+    materialized (S, S) score matrix) and restricted to this shard's group
+    so CFG halves never attend across (reference semantics: attention
+    spans one window batch only, attention.py:69-83)."""
+    k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+    if groups > 1:
+        n_shards = k_full.shape[1] // k.shape[1]
+        if n_shards % groups:
+            raise ValueError(
+                f"mesh axis size {n_shards} must be a multiple of the "
+                f"group count {groups} (CFG halves may not straddle shards)"
+            )
+        group_len = k_full.shape[1] // groups
+        g = jax.lax.axis_index(axis) // (n_shards // groups)
+        k_full = jax.lax.dynamic_slice_in_dim(k_full, g * group_len, group_len, 1)
+        v_full = jax.lax.dynamic_slice_in_dim(v_full, g * group_len, group_len, 1)
+    return dot_product_attention(q, k_full, v_full, implementation=implementation)
+
+
 def shard_attention_over_mesh(mesh, q, k, v, implementation: str = "auto"):
     """Convenience: run one attention with the sequence axis sharded over
     the mesh 'model' axis (queries stay sharded end-to-end)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, "model", None, None)

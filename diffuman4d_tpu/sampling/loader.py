@@ -75,7 +75,7 @@ def load_pipeline(
 
         log.info("loading diffusers-layout checkpoint from %s", model_dir)
         unet_config, vae_config, sched_cfg, params = load_hf_checkpoint(
-            model_dir, dtype=dtype
+            model_dir, dtype=DTYPES[model_cfg.param_dtype]
         )
         scheduler = from_config(sched_cfg)
     else:

@@ -88,10 +88,17 @@ class Diffuman4DPipeline:
         image_size: int = 1024,
         vae_batch: int = 4,
         vae_decode_batch: int | None = None,
+        window_chunk: int | None = 8,
     ):
         # decode at 1024^2 peaks ~1 GB activations per image in the decoder's
         # upper stages; small decode batches keep HBM headroom on 16 GB chips
         self.vae_decode_batch = vae_decode_batch or max(1, vae_batch // 2)
+        # windows per device execution: one giant fori_loop over 44+ windows
+        # is a single multi-minute device execution, which this environment's
+        # compile/execute relay cannot survive (observed worker crashes);
+        # chunking bounds each execution while latents stay device-resident
+        # and dispatch stays async — identical math, zero extra transfers
+        self.window_chunk = window_chunk
         self.unet = unet
         self.vae = vae
         self.base_scheduler = scheduler
@@ -103,10 +110,14 @@ class Diffuman4DPipeline:
         self.vae_batch = vae_batch
         self.scheduler = scheduler.set_timesteps(sliding.total_steps)
 
+        self._unet_fwd = self._plain_unet_fwd
         self._encode_j = jax.jit(self._encode_impl)
         self._decode_j = jax.jit(self._decode_impl)
         self._pose_j = jax.jit(self._pose_impl)
         self._plucker_j = jax.jit(self._plucker_impl)
+        self._rejit_sliding()
+
+    def _rejit_sliding(self) -> None:
         self._sliding_j = jax.jit(
             self._sliding_impl, static_argnames=("domain", "num_denoising_steps")
         )
@@ -114,52 +125,90 @@ class Diffuman4DPipeline:
             self._sliding_batch_impl, static_argnames=("domain", "num_denoising_steps")
         )
 
+    def _plain_unet_fwd(self, unet_params, x, t, tem, num_frames,
+                        pose_features=None):
+        return self.unet.apply(
+            unet_params, x, t, tem_indices=tem, num_frames=num_frames,
+            pose_features=pose_features,
+        )
+
+    def enable_context_parallel(self, mesh, axis: str = "model") -> None:
+        """Shard each window step's frame axis over ``mesh[axis]`` so one
+        task's denoise uses every device on that axis (the reference pins
+        one window step to one GPU, sampling_utils.py:44-51; this is a TPU
+        win axis — see parallel/cp_unet.py)."""
+        from diffuman4d_tpu.parallel.cp_unet import make_cp_unet_apply
+
+        if mesh.shape[axis] > 1:
+            self._unet_fwd = make_cp_unet_apply(self.unet, mesh, axis)
+        else:
+            self._unet_fwd = self._plain_unet_fwd
+        self._rejit_sliding()  # drop traces that baked in the old forward
+
     # -- condition preparation ----------------------------------------
+    # Encode / decode / pose all run as host loops over FIXED-shape jitted
+    # micro-batches (pad the last chunk): one compile per program for the
+    # whole run regardless of how many rows a task needs. Variable-batch
+    # programs recompile per row count, and compiles cost minutes on this
+    # environment's remote-compile path (micro-batching itself mirrors
+    # pipeline_diffuman4d.py:47-72).
+    @staticmethod
+    def _fixed_chunks(x, b):
+        n = x.shape[0]
+        for i in range(0, n, b):
+            c = x[i : i + b]
+            pad = b - c.shape[0]
+            if pad:
+                c = jnp.pad(c, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            yield c, min(b, n - i)
+
     def _encode_impl(self, vae_params, images, key):
-        """Micro-batched VAE encode (pipeline_diffuman4d.py:47-56)."""
+        """One VAE-encode micro-batch (pipeline_diffuman4d.py:47-56)."""
+        return self.vae.apply(vae_params, images, key, method="encode")
+
+    def encode_images(self, images, key):
         n = images.shape[0]
-        b = min(self.vae_batch, n)
-        pad = (-n) % b
-        imgs = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
-        keys = jax.random.split(key, (n + pad) // b)
-        chunks = imgs.reshape((-1, b) + imgs.shape[1:])
-
-        def enc(args):
-            chunk, k = args
-            return self.vae.apply(vae_params, chunk, k, method="encode")
-
-        z = jax.lax.map(enc, (chunks, keys))
-        z = z.reshape((-1,) + z.shape[2:])
-        return z[:n]
+        b = self.vae_batch
+        keys = jax.random.split(key, -(-n // b))
+        outs = [
+            self._encode_j(self.params["vae"], c, keys[i])[:m]
+            for i, (c, m) in enumerate(self._fixed_chunks(images, b))
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def _decode_impl(self, vae_params, latents):
-        n = latents.shape[0]
-        b = min(self.vae_decode_batch, n)
-        pad = (-n) % b
-        z = jnp.pad(latents, ((0, pad),) + ((0, 0),) * (latents.ndim - 1))
-        chunks = z.reshape((-1, b) + z.shape[1:])
-        imgs = jax.lax.map(
-            lambda c: self.vae.apply(vae_params, c, method="decode"), chunks
-        )
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])
-        return imgs[:n]
+        return self.vae.apply(vae_params, latents, method="decode")
+
+    def decode_latents(self, latents):
+        b = self.vae_decode_batch
+        outs = [
+            self._decode_j(self.params["vae"], c)[:m]
+            for c, m in self._fixed_chunks(latents, b)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def _pose_impl(self, unet_params, skeletons):
-        """Pose features once per frame (and once for the black negative)."""
+        """Pose features for one fixed micro-batch of frames."""
         pe_params = {"params": unet_params["params"]["pose_encoder"]}
         module = PoseEncoder(
             self.unet.config.block_out_channels[0], dtype=self.unet.dtype
         )
-        n = skeletons.shape[0]
-        b = min(self.vae_batch, n)
-        pad = (-n) % b
-        sk = jnp.pad(skeletons, ((0, pad),) + ((0, 0),) * (skeletons.ndim - 1))
-        chunks = sk.reshape((-1, b) + sk.shape[1:])
-        feats = jax.lax.map(lambda c: module.apply(pe_params, c), chunks)
-        feats = feats.reshape((-1,) + feats.shape[2:])[:n]
-        neg = module.apply(
-            pe_params, -jnp.ones((1,) + skeletons.shape[1:], skeletons.dtype)
-        )
+        return module.apply(pe_params, skeletons)
+
+    def pose_features(self, skeletons):
+        """Per-frame pose features + the constant black-skeleton negative
+        (computed once; the reference re-runs the pose encoder per window,
+        unet_multiview_condition.py:552-554)."""
+        b = self.vae_batch
+        outs = [
+            self._pose_j(self.params["unet"], c)[:m]
+            for c, m in self._fixed_chunks(skeletons, b)
+        ]
+        feats = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        neg = self._pose_j(
+            self.params["unet"],
+            -jnp.ones((b,) + skeletons.shape[1:], skeletons.dtype),
+        )[:1]
         return feats, neg
 
     def _plucker_impl(self, Ks, poses):
@@ -184,7 +233,7 @@ class Diffuman4DPipeline:
         cond_rows = np.nonzero(is_cond_input)[0]
         k_enc, key = jax.random.split(key)
         pix_cond = jnp.asarray(sample.pixel_values[cond_rows], dtype)
-        z_cond = self._encode_j(self.params["vae"], pix_cond, k_enc)
+        z_cond = self.encode_images(pix_cond, k_enc)
         pix_latents = jnp.zeros(
             (n, self.latent_size, self.latent_size, self.latent_channels), dtype
         )
@@ -200,15 +249,13 @@ class Diffuman4DPipeline:
             "is_cond": jnp.asarray(is_cond_input),
         }
         if self.unet.config.enable_pose_encoder:
-            feats, neg = self._pose_j(
-                self.params["unet"], jnp.asarray(sample.skeletons, dtype)
-            )
+            feats, neg = self.pose_features(jnp.asarray(sample.skeletons, dtype))
             cond["pose_features"] = feats
             cond["neg_pose_feature"] = neg
         else:
             k_sk, key = jax.random.split(key)
-            cond["skeleton_latents"] = self._encode_j(
-                self.params["vae"], jnp.asarray(sample.skeletons, dtype), k_sk
+            cond["skeleton_latents"] = self.encode_images(
+                jnp.asarray(sample.skeletons, dtype), k_sk
             ).astype(dtype)
         return cond
 
@@ -286,13 +333,8 @@ class Diffuman4DPipeline:
         if do_cfg:
             tem = jnp.concatenate([tem, tem])
 
-        eps = self.unet.apply(
-            unet_params,
-            net_in,
-            t,
-            tem_indices=tem,
-            num_frames=L,
-            pose_features=pose_features,
+        eps = self._unet_fwd(
+            unet_params, net_in, t, tem, L, pose_features=pose_features
         )
 
         if do_cfg:
@@ -378,6 +420,14 @@ class Diffuman4DPipeline:
 
         return jax.vmap(one)(cond_b, latents_b, t_idx_b)
 
+    def _window_chunk_size(self, n_windows: int) -> int:
+        """Largest chunk <= window_chunk that divides n_windows evenly, so
+        every device execution compiles to ONE program shape."""
+        c = min(self.window_chunk or n_windows, n_windows)
+        while n_windows % c:
+            c -= 1
+        return c
+
     def sliding_denoise_batch(self, cond_b, latents_b, t_idx_b, windows, domain,
                               aux_b=None, mesh=None):
         """Batched tasks, optionally sharded over a mesh 'data' axis."""
@@ -390,16 +440,32 @@ class Diffuman4DPipeline:
             t_idx_b = put(t_idx_b)
             if aux_b is not None:
                 aux_b = jax.tree.map(put, aux_b)
-        return self._sliding_batch_j(
-            self.params["unet"],
-            cond_b,
-            latents_b,
-            jnp.asarray(t_idx_b, jnp.int32),
-            jnp.asarray(windows),
-            aux_b,
-            domain=domain,
-            num_denoising_steps=self.sliding.num_denoising_steps,
-        )
+        windows = np.asarray(windows)
+        c = self._window_chunk_size(windows.shape[0])
+        t_b = jnp.asarray(t_idx_b, jnp.int32)
+        if self.scheduler.has_aux and aux_b is None:
+            # init once; re-initializing per chunk would drop multistep
+            # history at chunk boundaries
+            B = latents_b.shape[0]
+            flat = self.scheduler.init_aux((B * latents_b.shape[1],) + latents_b.shape[2:])
+            aux_b = jax.tree.map(
+                lambda a: a.reshape((B, latents_b.shape[1]) + a.shape[1:]), flat
+            )
+        aux_ret = aux_b
+        for i in range(0, windows.shape[0], c):
+            latents_b, t_b, aux_ret = self._sliding_batch_j(
+                self.params["unet"],
+                cond_b,
+                latents_b,
+                t_b,
+                jnp.asarray(windows[i : i + c]),
+                aux_b,
+                domain=domain,
+                num_denoising_steps=self.sliding.num_denoising_steps,
+            )
+            if aux_b is not None:
+                aux_b = aux_ret
+        return latents_b, t_b, aux_ret
 
     def sliding_denoise(self, cond, latents, t_idx, windows, domain, aux=None):
         """Run all windows of one task. Returns (latents, t_idx, aux).
@@ -415,16 +481,26 @@ class Diffuman4DPipeline:
             raise ValueError(f"input timestep indices nonzero: {t_idx}")
         expected_end = int(tgt[0]) + self.sliding.steps_per_alt
 
-        latents, t_idx, aux = self._sliding_j(
-            self.params["unet"],
-            cond,
-            latents,
-            jnp.asarray(t_idx, jnp.int32),
-            jnp.asarray(windows),
-            aux,
-            domain=domain,
-            num_denoising_steps=self.sliding.num_denoising_steps,
-        )
+        windows = np.asarray(windows)
+        c = self._window_chunk_size(windows.shape[0])
+        if self.scheduler.has_aux and aux is None:
+            # materialize once so every chunk call shares one trace
+            aux = self.scheduler.init_aux(latents.shape)
+        t_dev = jnp.asarray(t_idx, jnp.int32)
+        for i in range(0, windows.shape[0], c):
+            latents, t_dev, aux_ret = self._sliding_j(
+                self.params["unet"],
+                cond,
+                latents,
+                t_dev,
+                jnp.asarray(windows[i : i + c]),
+                aux,
+                domain=domain,
+                num_denoising_steps=self.sliding.num_denoising_steps,
+            )
+            if self.scheduler.has_aux:
+                aux = aux_ret
+        t_idx = t_dev
 
         t_after = np.asarray(t_idx)
         if (t_after[~is_cond] != expected_end).any():
@@ -439,5 +515,5 @@ class Diffuman4DPipeline:
     # -- outputs --------------------------------------------------------
     def decode(self, latents) -> np.ndarray:
         """Latents -> images in [0, 1] (reference post_process, :280-285)."""
-        imgs = self._decode_j(self.params["vae"], latents)
+        imgs = self.decode_latents(latents)
         return np.clip(np.asarray(imgs, np.float32) * 0.5 + 0.5, 0.0, 1.0)

@@ -40,9 +40,26 @@ class SamplingRunner:
 
     def inference(self) -> None:
         """All alternation rounds + completeness check
-        (sampling_runner.py:45-62)."""
+        (sampling_runner.py:45-62).
+
+        Mesh layout decides the parallelism: the "data" axis runs task
+        waves (SURVEY §2.4); a "model" axis > 1 context-parallelizes each
+        window step's frame axis (parallel/cp_unet.py), so a mesh of
+        (1, N) puts all chips on ONE task's latency."""
         mesh = self._resolve_mesh()
-        if mesh is not None:
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            if mesh.shape["data"] > 1:
+                log.warning(
+                    "combined data x model sampling is not supported yet; "
+                    "running tasks sequentially with context-parallel steps"
+                )
+            log.info(
+                "context-parallel window steps over %d devices ('model' axis)",
+                mesh.shape["model"],
+            )
+            self.sampler.pipeline.enable_context_parallel(mesh)
+            self.sampler.execute_tasks()
+        elif mesh is not None and mesh.shape["data"] > 1:
             log.info("SPMD sampling over %d devices", mesh.shape["data"])
             self.sampler.execute_tasks_parallel(mesh)
         else:

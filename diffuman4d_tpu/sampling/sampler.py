@@ -359,36 +359,65 @@ class SlidingIterativeSampler:
         base = jax.random.PRNGKey(self.seed + 1)
         return jax.random.fold_in(jax.random.fold_in(base, round_idx), task_idx)
 
+    def _prepare_wave(self, round_idx, tasks, i, n_wave):
+        """Host-side wave prep: sample loading (file IO) + condition encode.
+        Returns (padded tasks, samples, conds, cells). Called *between* the
+        previous wave's async denoise dispatch and its blocking output save,
+        so this CPU work overlaps device compute (double-buffering)."""
+        wave = tasks[i : i + n_wave]
+        padded = wave + [wave[-1]] * (n_wave - len(wave))
+        samples, conds, cells = [], [], []
+        for j, task in enumerate(padded):
+            # clamped key => padded duplicates compute bit-identical results,
+            # making their grid scatter idempotent
+            sub = self._task_key(round_idx, min(i + j, len(tasks) - 1))
+            s = self.load_sample(task)
+            samples.append(s)
+            conds.append(self.pipeline.prepare_conditions(s, sub))
+            cells.append(self._grid_cells(s.labels))
+        return padded, samples, conds, cells
+
     def execute_tasks_parallel(self, mesh, key=None) -> None:
         """SPMD execution: waves of ``data``-axis-many tasks per pjit call.
 
         Tasks within a round are independent (SURVEY §2.4), so each device
         denoises its own task; the round boundary is the wave loop. Replaces
         the reference's thread-per-GPU queues + CPU latent bounce
-        (sampling_runner.py:26-43, sliding_iterative_sampler.py:181-185)."""
+        (sampling_runner.py:26-43, sliding_iterative_sampler.py:181-185).
+
+        Latents never touch the host inside a round: the grid lives on the
+        mesh, wave cells are gathered/scattered with device-side advanced
+        indexing, and the only device->host transfers are the small int32
+        timestep indices plus decoded output images. Host prep for wave N+1
+        runs while wave N denoises (JAX dispatch is async)."""
         import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_wave = mesh.shape["data"]
+        rep = NamedSharding(mesh, P())
+        self.grid_latents = jax.device_put(self.grid_latents, rep)
+        if self.grid_aux is not None:
+            self.grid_aux = jax.tree.map(
+                lambda g: jax.device_put(g, rep), self.grid_aux
+            )
+
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
                 continue
-            for i in range(0, len(tasks), n_wave):
-                wave = tasks[i : i + n_wave]
-                n_real = len(wave)
-                padded = wave + [wave[-1]] * (n_wave - n_real)
-
-                samples, conds, cells = [], [], []
-                for j, task in enumerate(padded):
-                    sub = self._task_key(round_idx, min(i + j, len(tasks) - 1))
-                    s = self.load_sample(task)
-                    samples.append(s)
-                    conds.append(self.pipeline.prepare_conditions(s, sub))
-                    cells.append(self._grid_cells(s.labels))
+            wave_starts = list(range(0, len(tasks), n_wave))
+            prep = self._prepare_wave(round_idx, tasks, wave_starts[0], n_wave)
+            for w_num, i in enumerate(wave_starts):
+                padded, samples, conds, cells = prep
+                n_real = min(n_wave, len(tasks) - i)
 
                 cond_b = jax.tree.map(lambda *xs: jnp.stack(xs), *conds)
-                lat_b = jnp.stack([self.grid_latents[s, t] for s, t in cells])
-                ti_b = np.stack([self.grid_t_idx[s, t] for s, t in cells])
-                windows = self._windows_for(wave[0], len(samples[0].labels))
+                spa_b = jnp.asarray(np.stack([s for s, _ in cells]))
+                tem_b = jnp.asarray(np.stack([t for _, t in cells]))
+                lat_b = self.grid_latents[spa_b, tem_b]  # device gather
+                ti_b = np.stack(
+                    [self.grid_t_idx[s, t] for s, t in cells]
+                )
+                windows = self._windows_for(padded[0], len(samples[0].labels))
 
                 # schedule invariants per task (pipeline_diffuman4d.py:480-487)
                 for k in range(n_real):
@@ -396,38 +425,41 @@ class SlidingIterativeSampler:
                     tgt = ti_b[k][~ic]
                     if (tgt != tgt[0]).any() or (ti_b[k][ic] != 0).any():
                         raise ValueError(
-                            f"schedule invariant violated for task {wave[k]}"
+                            f"schedule invariant violated for task {padded[k]}"
                         )
 
                 aux_in = None
                 if self.grid_aux is not None:
                     aux_in = jax.tree.map(
-                        lambda g: jnp.stack([g[s_, t_] for s_, t_ in cells]),
-                        self.grid_aux,
+                        lambda g: g[spa_b, tem_b], self.grid_aux
                     )
+                # async dispatch — host continues while devices denoise
                 lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
-                    cond_b, lat_b, ti_b, windows, wave[0].domain,
+                    cond_b, lat_b, ti_b, windows, padded[0].domain,
                     aux_b=aux_in, mesh=mesh,
                 )
+                # device-side scatter (duplicate padded cells write identical
+                # values, so the scatter is well-defined)
+                self.grid_latents = self.grid_latents.at[spa_b, tem_b].set(lat_b)
                 if self.grid_aux is not None:
-                    for k in range(n_real):
-                        s_idx, t_cells = cells[k]
-                        self.grid_aux = jax.tree.map(
-                            lambda g, u, si=s_idx, ti=t_cells, kk=k:
-                                g.at[si, ti].set(u[kk]),
-                            self.grid_aux, aux_b,
-                        )
-                lat_host = jax.device_get(lat_b)
-                ti_host = np.asarray(jax.device_get(ti_b_new))
+                    self.grid_aux = jax.tree.map(
+                        lambda g, u: g.at[spa_b, tem_b].set(u),
+                        self.grid_aux, aux_b,
+                    )
 
+                # overlap: prep the NEXT wave's host work before blocking on
+                # this wave's results
+                if w_num + 1 < len(wave_starts):
+                    prep = self._prepare_wave(
+                        round_idx, tasks, wave_starts[w_num + 1], n_wave
+                    )
+
+                ti_host = np.asarray(jax.device_get(ti_b_new))  # small sync
                 for k in range(n_real):
                     s_idx, t_idx_cells = cells[k]
-                    self.grid_latents = self.grid_latents.at[s_idx, t_idx_cells].set(
-                        jnp.asarray(lat_host[k])
-                    )
                     self.grid_t_idx[s_idx, t_idx_cells] = ti_host[k]
                     self._save_task_outputs(
-                        padded[k], samples[k], jnp.asarray(lat_host[k]), ti_host[k]
+                        padded[k], samples[k], lat_b[k], ti_host[k]
                     )
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)

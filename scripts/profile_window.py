@@ -8,6 +8,11 @@ Usage: python scripts/profile_window.py [--domain spatial|temporal]
 
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -3,6 +3,12 @@ counts, windows per task, steps per target (SURVEY §3.4 verification).
 
 Usage: python scripts/show_schedule.py [preset] [--cams 48] [--frames 150]
 """
+from __future__ import annotations
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
 import argparse
 import numpy as np

@@ -1,23 +1,32 @@
-"""Sweep attention kernels/block sizes at the model's hot shapes on the
-real chip; prints a JSON table to feed the dispatcher thresholds in
-diffuman4d_tpu/ops/attention.py.
+"""Sweep attention kernels + block sizes at the model's hot shapes on the
+real chip and persist the winners to
+``diffuman4d_tpu/ops/attention_table.json`` — the measured dispatch table
+``ops/attention.py`` consults at run time (replaces the round-1 hardcoded
+thresholds; VERDICT r1 item 1a).
 
-Usage: python scripts/tune_attention.py [--quick]
+Usage: python scripts/tune_attention.py [--quick] [--out PATH]
 """
 
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import argparse
 import json
+import os.path as osp
 import time
 
 
-def sync(x):
-    float(x.sum())
-
-
 def timed(fn, *args, n=3):
-    sync(fn(*args))
+    def sync(x):
+        import jax.numpy as jnp
+
+        float(x.astype(jnp.float32).sum())
+
+    sync(fn(*args))  # compile
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
@@ -25,14 +34,39 @@ def timed(fn, *args, n=3):
     return (time.perf_counter() - t0) / n
 
 
+# (name, b, s, h, d) — the model's real attention shapes (SURVEY §3.3):
+# 3D attention = CFG-doubled window regrouped to (2, T*hw); 2D attention =
+# per-frame (B=2T); VAE decoder mid-block single-head d=512.
+HOT_SHAPES = [
+    ("3d_spatial@64sq", 2, 65536, 10, 64),
+    ("3d_temporal@64sq", 2, 98304, 10, 64),
+    ("3d_spatial@32sq", 2, 16384, 20, 64),
+    ("3d_temporal@32sq", 2, 24576, 20, 64),
+    ("3d@16sq_mid", 2, 4096, 20, 64),
+    ("2d@128sq", 32, 16384, 5, 64),
+    ("2d@128sq_tem", 48, 16384, 5, 64),
+    ("2d@64sq", 32, 4096, 10, 64),
+    ("2d@32sq", 32, 1024, 20, 64),
+    ("vae_mid@128sq", 2, 16384, 1, 512),
+]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--out",
+        default=osp.join(
+            osp.dirname(__file__), "..", "diffuman4d_tpu", "ops",
+            "attention_table.json",
+        ),
+    )
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from diffuman4d_tpu.ops.attention import _xla_attention
     from diffuman4d_tpu.ops.flash_attention import (
         flash_attention,
         flash_attention_bundled,
@@ -42,46 +76,77 @@ def main():
 
     setup()
 
-    # (name, b, s, h, d) — the model's real attention shapes
-    shapes = [
-        ("3d_spatial@64sq", 2, 65536, 10, 64),
-        ("3d_temporal@64sq", 2, 98304, 10, 64),
-        ("3d@32sq", 2, 16384, 20, 64),
-        ("2d@128sq", 32, 16384, 5, 64),
-        ("2d@64sq", 32, 4096, 10, 64),
-        ("vae_mid@128sq", 4, 16384, 1, 512),
-    ]
-    if args.quick:
-        shapes = shapes[:1]
-
+    shapes = HOT_SHAPES[:2] if args.quick else HOT_SHAPES
     results = {}
+    table = []
     for name, b, s, h, d in shapes:
         q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d), jnp.bfloat16)
         flops = 4 * b * h * s * s * d
         row = {}
 
-        candidates = {
-            "v1_1024x512": lambda: flash_attention(q, q, q, block_q=1024, block_k=512),
-            "v2_1024x2048x512": lambda: flash_attention_v2(
-                q, q, q, block_q=1024, block_k_major=2048, block_k=512
-            ),
-        }
-        if d <= 128 and s % 1024 == 0:
-            candidates["bundled_1024"] = lambda: flash_attention_bundled(
-                q, q, q, block_q=1024, block_k=1024
+        candidates = {}
+        for bq in (512, 1024, 2048):
+            for bk in (512, 1024, 2048):
+                if bq > s or bk > s:
+                    continue
+                if s % bq == 0 and s % bk == 0 and d <= 128:
+                    candidates[f"bundled_{bq}x{bk}"] = (
+                        "bundled", bq, bk,
+                        lambda bq=bq, bk=bk: flash_attention_bundled(
+                            q, q, q, block_q=bq, block_k=bk
+                        ),
+                    )
+        for bq, bk in ((1024, 512), (2048, 512), (512, 512), (1024, 1024)):
+            if s % min(bq, s) == 0 and s % min(bk, s) == 0:
+                candidates[f"v1_{bq}x{bk}"] = (
+                    "pallas", bq, bk,
+                    lambda bq=bq, bk=bk: flash_attention(
+                        q, q, q, block_q=bq, block_k=bk
+                    ),
+                )
+        if s % 2048 == 0:
+            candidates["v2_1024x2048x512"] = (
+                "pallas_v2", 1024, 2048,
+                lambda: flash_attention_v2(
+                    q, q, q, block_q=1024, block_k_major=2048, block_k=512
+                ),
             )
-        for cname, fn in candidates.items():
+        if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
+            candidates["xla"] = ("xla", 0, 0, lambda: _xla_attention(q, q, q))
+
+        best = None
+        for cname, (impl, bq, bk, fn) in candidates.items():
             try:
                 dt = timed(fn)
-                row[cname] = {
-                    "ms": round(dt * 1e3, 1),
-                    "tflops": round(flops / dt / 1e12, 1),
-                }
-            except Exception as e:
+                tf = flops / dt / 1e12
+                row[cname] = {"ms": round(dt * 1e3, 2), "tflops": round(tf, 1)}
+                if best is None or tf > best[0]:
+                    best = (tf, impl, bq, bk)
+            except Exception as e:  # noqa: BLE001 — record and move on
                 row[cname] = {"error": str(e)[:120]}
             print(name, cname, row[cname], flush=True)
         results[name] = row
+        if best is not None:
+            table.append(
+                {
+                    "name": name, "b": b, "s": s, "h": h, "d": d,
+                    "impl": best[1], "block_q": best[2], "block_k": best[3],
+                    "tflops": round(best[0], 1),
+                }
+            )
+
     print(json.dumps(results, indent=2))
+    out = osp.abspath(args.out)
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "device": jax.devices()[0].device_kind,
+                "entries": table,
+            },
+            f,
+            indent=2,
+        )
+    print(f"wrote dispatch table ({len(table)} entries) to {out}")
 
 
 if __name__ == "__main__":

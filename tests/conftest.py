@@ -18,3 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compile cache: XLA:CPU compiles dominate suite runtime on this
+# 1-core host; cache hits make reruns of unchanged programs near-free
+from diffuman4d_tpu.utils.jax_setup import setup as _jax_cache_setup  # noqa: E402
+
+_jax_cache_setup()

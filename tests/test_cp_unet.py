@@ -1,0 +1,165 @@
+"""Context-parallel UNet: shard_map over the frame axis must reproduce the
+single-device forward exactly (VERDICT r1 item 4 — the mesh "model" axis
+was inert at inference).
+
+Covers the real regroup structure: CFG-doubled batch (groups=2, b-major),
+3D attention in the deepest stages only, per-frame 2D attention elsewhere
+(reference gating: unet_multiview_condition.py:560/570/582)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+from diffuman4d_tpu.parallel.cp_unet import make_cp_unet_apply
+from diffuman4d_tpu.parallel.mesh import make_mesh
+
+
+# two stages + num_3d_attn_blocks=1 keep the compile cheap on the 1-core
+# CPU host while still exercising both attention regimes under cp: the mid
+# block is 3D (all-gathered K/V), the outer CrossAttn stages run with
+# num_frames=1 (per-frame 2D, shard-local) — same gating shape as
+# production (unet_multiview_condition.py:560/570/582)
+TINY = UNetConfig(
+    in_channels=11,
+    block_out_channels=(8, 16),
+    num_attention_heads=(1, 2),
+    layers_per_block=1,
+    norm_num_groups=4,
+    num_3d_attn_blocks=1,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    unet = UNetMultiviewCondition(TINY, dtype=jnp.float32, attn_implementation="xla")
+    key = jax.random.PRNGKey(0)
+    params = unet.init(
+        key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 64, 64, 3)), num_frames=2,
+    )
+    return unet, params
+
+
+def _inputs(L, hw=8, groups=2, seed=1):
+    B = groups * L
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (B, hw, hw, 11), jnp.float32)
+    sk = jax.random.normal(ks[1], (B, hw * 8, hw * 8, 3), jnp.float32)
+    t = jnp.concatenate(
+        [jnp.full((L,), 500, jnp.int32), jnp.full((L,), 500, jnp.int32)][:groups]
+    )
+    tem = jnp.tile(jnp.arange(L, dtype=jnp.int32), groups)
+    return x, t, sk, tem
+
+
+@pytest.mark.parametrize("model_par", [2, 4])
+def test_cp_matches_single_device_cfg(tiny_unet, model_par):
+    """CFG batch (groups=2): mesh 'model' in {2, 4} must be bit-comparable
+    with the plain forward at the real window structure (L frames/group)."""
+    unet, params = tiny_unet
+    L = 8
+    x, t, sk, tem = _inputs(L)
+
+    ref = unet.apply(params, x, t, skeletons=sk, tem_indices=tem, num_frames=L)
+
+    mesh = make_mesh(data=1, model=model_par)
+    cp_fwd = make_cp_unet_apply(unet, mesh)
+    # pose features precomputed like the pipeline does (skeletons are not
+    # shardable mid-stack; the pipeline always precomputes, pipeline.py:147)
+    from diffuman4d_tpu.models.pose_encoder import PoseEncoder
+
+    pe = PoseEncoder(TINY.block_out_channels[0], dtype=jnp.float32)
+    pf = pe.apply({"params": params["params"]["pose_encoder"]}, sk)
+    ref_pf = unet.apply(
+        params, x, t, tem_indices=tem, num_frames=L, pose_features=pf
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_pf), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    out = cp_fwd(params, x, t, tem, L, pose_features=pf)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_cp_matches_single_device_no_cfg(tiny_unet):
+    """guidance 1.0 disables CFG (groups=1, sliding_low_mem preset)."""
+    unet, params = tiny_unet
+    L = 8
+    x, t, sk, tem = _inputs(L, groups=1)
+    pf = jnp.zeros((L, 8, 8, TINY.block_out_channels[0]), jnp.float32)
+
+    ref = unet.apply(params, x, t, tem_indices=tem, num_frames=L, pose_features=pf)
+    mesh = make_mesh(data=1, model=4)
+    out = make_cp_unet_apply(unet, mesh)(params, x, t, tem, L, pose_features=pf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_cp_rejects_straddling_groups(tiny_unet):
+    """Shards may never mix CFG halves: odd model axis with groups=2."""
+    unet, params = tiny_unet
+    mesh = make_mesh(data=1, model=1)  # n=1 < groups=2 -> n % groups != 0
+    x, t, sk, tem = _inputs(2)
+    pf = jnp.zeros((4, 8, 8, TINY.block_out_channels[0]), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of the CFG group"):
+        make_cp_unet_apply(unet, mesh)(params, x, t, tem, 2, pose_features=pf)
+
+
+def test_cp_pipeline_sliding_denoise(tmp_path):
+    """enable_context_parallel: the full sliding denoise of one task under
+    a (1, 4) mesh equals the single-device path bit-for-bit (the schedule,
+    RNG and scatter logic are unchanged; only the UNet forward is
+    shard_mapped)."""
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    data_dir = str(tmp_path / "scene")
+    make_synthetic_scene(data_dir, "scene0", num_cams=6, num_frames=2, image_size=64)
+    dataset = SpaTemDataset(
+        data_dir=data_dir, scene_label="scene0", height=64, width=64
+    )
+    unet = UNetMultiviewCondition(TINY, dtype=jnp.float32, attn_implementation="xla")
+    vae = AutoencoderKL(
+        VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1),
+        dtype=jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(
+            key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 64, 64, 3)), num_frames=2,
+        ),
+        "vae": vae.init(key, jnp.zeros((1, 64, 64, 3))),
+    }
+
+    def run(cp: bool, out):
+        pipeline = Diffuman4DPipeline(
+            unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,
+            sliding=SlidingConfig(window_size=2, alternation_rounds=1,
+                                  guidance_scale=2.0),
+            image_size=64, vae_batch=4,
+        )
+        if cp:
+            pipeline.enable_context_parallel(make_mesh(data=1, model=2))
+        sampler = SlidingIterativeSampler(
+            dataset, pipeline, output_dir=str(out),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+            input_spa_labels=[0, 3],
+        )
+        sampler.execute_tasks()
+        return np.asarray(sampler.grid_latents), sampler.grid_t_idx.copy()
+
+    lat_ref, ti_ref = run(False, tmp_path / "ref")
+    lat_cp, ti_cp = run(True, tmp_path / "cp")
+    np.testing.assert_array_equal(ti_ref, ti_cp)
+    np.testing.assert_allclose(lat_ref, lat_cp, atol=1e-5)

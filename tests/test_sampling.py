@@ -266,3 +266,45 @@ class TestEndToEnd:
         assert sampler.spa_labels == ["00", "01", "02", "03", "04", "05"]
         assert sampler.tem_labels == ["000000", "000002"]
         assert len(sampler.all_tasks[0]) == 2  # one spatial task per frame
+
+
+class TestWindowChunking:
+    def test_chunk_size_divides_evenly(self, tiny_setup):
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        pipe = make_pipeline(SlidingConfig(window_size=2, alternation_rounds=1))
+        pipe.window_chunk = 8
+        assert pipe._window_chunk_size(44) == 4  # 44 % 8 != 0 -> largest divisor
+        assert pipe._window_chunk_size(16) == 8
+        assert pipe._window_chunk_size(3) == 3
+        pipe.window_chunk = None
+        assert pipe._window_chunk_size(44) == 44
+
+    def test_chunked_equals_monolithic_multistep(self, tiny_setup, tmp_path):
+        """Chunking the window loop (multiple device executions instead of
+        one long fori_loop) must be bit-identical, including DPM++ multistep
+        history carried across chunk boundaries."""
+        from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+        from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        sliding = SlidingConfig(window_size=2, alternation_rounds=1,
+                                guidance_scale=2.0)
+
+        def run(chunk, out):
+            pipe = make_pipeline(sliding)
+            pipe.base_scheduler = Scheduler(SchedulerConfig(kind="dpm++"))
+            pipe.scheduler = pipe.base_scheduler.set_timesteps(sliding.total_steps)
+            pipe.window_chunk = chunk
+            s = SlidingIterativeSampler(
+                dataset, pipe, output_dir=str(out),
+                spa_label_range=(0, 6, 1), tem_label_range=(0, 1, 1),
+                input_spa_labels=[0, 3],
+            )
+            s.execute_one_task(s.all_tasks[0][0], jax.random.PRNGKey(0))
+            return np.asarray(s.grid_latents), s.grid_t_idx.copy()
+
+        lat_mono, ti_mono = run(None, tmp_path / "mono")
+        lat_chunk, ti_chunk = run(1, tmp_path / "chunk1")
+        np.testing.assert_array_equal(ti_mono, ti_chunk)
+        np.testing.assert_allclose(lat_mono, lat_chunk, atol=1e-6)

@@ -229,3 +229,48 @@ def test_save_and_reload_hf_checkpoint(tmp_path):
     for path, val in flat1:
         np.testing.assert_allclose(np.asarray(get(p2, path)), np.asarray(val),
                                    atol=1e-6, err_msg=str(path))
+
+
+def test_param_storage_dtype_knob(tmp_path):
+    """The ``dtype`` arg of load_hf_checkpoint is the *storage* dtype only:
+    for a bf16-valued checkpoint (like the reference's bf16 variant),
+    bf16-storage and fp32-storage must produce bit-identical outputs at
+    fp32 compute — flax casts params to the module dtype at apply time
+    (VERDICT r1 item 9: fp32-param knob for PSNR-parity debugging)."""
+    import jax
+
+    from diffuman4d_tpu.io.checkpoints import load_hf_checkpoint, save_hf_checkpoint
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+
+    ucfg = UNetConfig(
+        in_channels=11, block_out_channels=(8, 16, 16, 16),
+        num_attention_heads=(1, 2, 2, 2), layers_per_block=1, norm_num_groups=4,
+        enable_pose_encoder=True, enable_tem_embeds=True,
+    )
+    vcfg = VAEConfig(block_out_channels=CH, layers_per_block=1)
+    unet = UNetMultiviewCondition(ucfg, dtype=jnp.float32)
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    params = {
+        "unet": unet.init(key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+                          jnp.zeros((2, 64, 64, 3)), num_frames=2),
+        "vae": vae.init(key, jnp.zeros((1, 32, 32, 3))),
+    }
+    # round values to bf16 so both storage dtypes represent them exactly
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16).astype(jnp.float32), params
+    )
+    d = str(tmp_path / "ckpt_bf16vals")
+    save_hf_checkpoint(d, params, ucfg, vcfg, {"_class_name": "DDIMScheduler"})
+
+    _, _, _, p_bf16 = load_hf_checkpoint(d, dtype=jnp.bfloat16)
+    _, _, _, p_fp32 = load_hf_checkpoint(d, dtype=jnp.float32)
+    assert p_bf16["unet"]["params"]["conv_in"]["kernel"].dtype == jnp.bfloat16
+    assert p_fp32["unet"]["params"]["conv_in"]["kernel"].dtype == jnp.float32
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 11), jnp.float32)
+    sk = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3), jnp.float32)
+    t = jnp.full((2,), 500, jnp.int32)
+    out_a = unet.apply(p_bf16["unet"], x, t, skeletons=sk, num_frames=2)
+    out_b = unet.apply(p_fp32["unet"], x, t, skeletons=sk, num_frames=2)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
