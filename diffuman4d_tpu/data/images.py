@@ -41,9 +41,10 @@ def to_float(img: Image.Image | np.ndarray) -> np.ndarray:
 
 
 def to_pil(img: np.ndarray) -> Image.Image:
-    """(H, W, C) float in [0, 1] -> PIL (uint8)."""
-    arr = np.clip(np.asarray(img), 0.0, 1.0)
-    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    """(H, W, C) float in [0, 1] — or already-quantized uint8 — -> PIL."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     return Image.fromarray(arr)

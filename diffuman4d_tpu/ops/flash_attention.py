@@ -174,6 +174,148 @@ def flash_attention_v2(
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
+def _flash_kernel_v3(
+    q_ref, k_ref, vt_ref, o_ref, s_a, s_b, m_s, l_s, acc_s, *, num_kv
+):
+    """Transposed-score flash attention with a skewed MXU/VPU pipeline.
+
+    Two d=64 inefficiencies in v1/v2/bundled (measured 67 TF/s at the hot
+    65k-token shape, ~68% of the half-depth MXU ceiling):
+
+      * P @ V contracts over d=64 — half the 128-wide MXU. Here scores are
+        kept transposed (S^T = K @ Q^T, shape (bk, bq)) so the PV matmul is
+        V^T @ P^T: contraction over bk (full 128 depth) with output
+        (d, bq) — d on sublanes, bq on lanes — fully utilized. V arrives
+        pre-transposed as (bh, d, sk) (one cheap XLA relayout per call).
+      * exp/softmax VPU work serializes behind each score matmul. Here the
+        score block for kv step j is staged in a double-buffered VMEM
+        scratch and consumed at step j+1, so the compiler can overlap
+        step j's QK^T (MXU) with step j-1's exp/stats (VPU). The grid runs
+        num_kv+1 steps; the extra step drains the last block.
+
+    Logits are pre-scaled by log2(e)*softmax_scale outside the kernel and
+    the online softmax runs in base 2 (exp2), which keeps normalization
+    exact while saving a VPU multiply per score element.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    # --- stage: score matmul for kv block j (skewed: consumed at j+1) ----
+    @pl.when((j < num_kv) & (j % 2 == 0))
+    def _score_a():
+        s_a[:] = jax.lax.dot_general(
+            k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when((j < num_kv) & (j % 2 == 1))
+    def _score_b():
+        s_b[:] = jax.lax.dot_general(
+            k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- stage: softmax + PV for kv block j-1 ----------------------------
+    def _process(s_ref):
+        st = s_ref[:]  # (bk, bq) fp32, already scaled to log2 units
+        m_prev = m_s[:1, :]  # (1, bq)
+        l_prev = l_s[:1, :]
+        m_cur = jnp.max(st, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(st - m_new)  # (bk, bq) fp32
+        l_new = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+        # V^T @ P^T on the MXU: contraction over bk (full depth), output
+        # (d, bq) fills all 128 lanes with bq.
+        pv = jax.lax.dot_general(
+            vt_ref[:], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_s[:] = acc_s[:] * alpha + pv
+        m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+        l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
+
+    @pl.when((j > 0) & (j % 2 == 1))
+    def _process_a():
+        _process(s_a)
+
+    @pl.when((j > 0) & (j % 2 == 0))
+    def _process_b():
+        _process(s_b)
+
+    @pl.when(j == num_kv)
+    def _finalize():
+        o_ref[:] = (acc_s[:] / l_s[:1, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_v3(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 2048,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"seq lens ({sq}, {sk}) not divisible by blocks")
+
+    # Fold softmax scale and the exp->exp2 base change into Q once.
+    log2e = 1.4426950408889634
+    qs = (q * jnp.asarray(log2e / (d**0.5), q.dtype)).astype(q.dtype)
+
+    qr = qs.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    # V pre-transposed to (bh, d, sk) so the kernel's PV contraction runs
+    # at full MXU depth (see _flash_kernel_v3).
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, sk)
+
+    num_q = sq // block_q
+    num_kv = sk // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v3, num_kv=num_kv),
+        grid=(b * h, num_q, num_kv + 1),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec(
+                (None, block_k, d),
+                lambda bh, i, j, _n=num_kv: (bh, jnp.minimum(j, _n - 1), 0),
+            ),
+            pl.BlockSpec(
+                (None, d, block_k),
+                lambda bh, i, j: (bh, 0, jnp.maximum(j - 1, 0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((None, d, block_q), lambda bh, i, j: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, block_q), jnp.float32),  # score buf A
+            pltpu.VMEM((block_k, block_q), jnp.float32),  # score buf B
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max (log2)
+            pltpu.VMEM((8, block_q), jnp.float32),  # running normalizer
+            pltpu.VMEM((d, block_q), jnp.float32),  # output accumulator^T
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qr.size + kr.size + vt.size + b * h * sq * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vt)
+
+    # (bh, d, sq) -> (B, Sq, H, D)
+    return out.reshape(b, h, d, sq).transpose(0, 3, 1, 2)
+
+
 def flash_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     """Whether shapes divide cleanly into flash blocks (else XLA fallback)."""
     if q.ndim != 4 or k.shape != v.shape:

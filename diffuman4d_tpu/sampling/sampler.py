@@ -143,12 +143,15 @@ class SlidingIterativeSampler:
         import os.path as osp
 
         os.makedirs(osp.dirname(self._state_path), exist_ok=True)
-        lat = np.asarray(self.grid_latents, np.float32)
+        # cast to fp32 ON DEVICE: numpy's ml_dtypes bf16->fp32 runs at
+        # ~MB/s on host, so transferring fp32 (2x bytes, no host cast) wins
+        lat = np.asarray(jnp.asarray(self.grid_latents, jnp.float32))
         extra = {}
         if self.grid_aux is not None:
             # dpm++ multistep history must survive resume too
             extra = {
-                f"aux_{k}": np.asarray(v) for k, v in self.grid_aux.items()
+                f"aux_{k}": np.asarray(jnp.asarray(v, jnp.float32))
+                for k, v in self.grid_aux.items()
             }
         np.savez_compressed(
             self._state_path + ".tmp.npz",
@@ -326,7 +329,8 @@ class SlidingIterativeSampler:
         if self.save_debug_grids:
             # grid rows mirror sampling_utils.py:70-93: blended skeletons,
             # inputs, outputs (input rows dimmed), L1 error
-            images = self.pipeline.decode(latents)
+            # decode() returns uint8; grid math runs in float
+            images = self.pipeline.decode(latents).astype(np.float32) / 255.0
             inputs01 = sample.pixel_values * 0.5 + 0.5
             skel01 = (sample.skeletons * 0.5 + 0.5) * 0.8 + inputs01 * 0.2
             error = np.clip(np.abs(images - inputs01), 0.0, 1.0)

@@ -71,6 +71,7 @@ def main():
         flash_attention,
         flash_attention_bundled,
         flash_attention_v2,
+        flash_attention_v3,
     )
     from diffuman4d_tpu.utils.jax_setup import setup
 
@@ -111,6 +112,15 @@ def main():
                     q, q, q, block_q=1024, block_k_major=2048, block_k=512
                 ),
             )
+        for bq, bk in ((2048, 512), (1024, 512), (2048, 1024), (1024, 1024),
+                       (4096, 512), (2048, 256), (512, 512)):
+            if s % min(bq, s) == 0 and s % min(bk, s) == 0 and d <= 128:
+                candidates[f"v3_{bq}x{bk}"] = (
+                    "pallas_v3", bq, bk,
+                    lambda bq=bq, bk=bk: flash_attention_v3(
+                        q, q, q, block_q=bq, block_k=bk
+                    ),
+                )
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
             candidates["xla"] = ("xla", 0, 0, lambda: _xla_attention(q, q, q))
 

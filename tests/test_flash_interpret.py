@@ -119,3 +119,40 @@ def test_flash_v2_matches_xla_interpret():
     ref = _xla_attention(q, k, v)
     got = _interp_flash_v2(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("seq,bq,bk", [(512, 128, 64), (512, 256, 128),
+                                       (256, 256, 256)])
+def test_flash_v3_matches_xla_interpret(seq, bq, bk):
+    """v3 (transposed-PV, skewed pipeline, base-2 softmax) parity incl. the
+    num_kv+1 drain step and the odd/even double-buffer schedule."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v3
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v3(q, k, v, block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_v3_large_logit_stability():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v3
+
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 256, 1, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v3(q, k, v, block_q=64, block_k=64)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
