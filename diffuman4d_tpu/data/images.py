@@ -74,23 +74,37 @@ def apply_fmask(
     image: (..., H, W, 3); fmask: (..., H, W, 1); both [0,1] (or [-1,1] when
     vae_normalized).
     """
+    # materialize the channel broadcast: numpy's stride-0 inner loop for
+    # (H, W, 3) * (H, W, 1) runs far slower than contiguous elementwise
+    if fmask.shape[-1] == 1 and image.shape[-1] != 1:
+        fmask = np.repeat(fmask, image.shape[-1], axis=-1)
+
+    if background_color in ("white", "black"):
+        # fused, allocation-lean forms of norm(denorm(I)*denorm(M) + bg):
+        # fresh multi-MB temporaries page-fault on small hosts, so the
+        # composite runs in two buffers with in-place ops.
+        #   white, vae:  O = (M+1)(I-1)/2 + 1
+        #   black, vae:  O = (M+1)(I+1)/2 - 1
+        if vae_normalized:
+            out = image - 1.0 if background_color == "white" else image + 1.0
+            out *= fmask + 1.0
+            out *= 0.5
+            out += 1.0 if background_color == "white" else -1.0
+            return out
+        out = image * fmask
+        if background_color == "white":
+            out += 1.0
+            out -= fmask
+        return out
+
+    if background_color != "random":
+        raise ValueError(f"Invalid background color: {background_color}")
     if vae_normalized:
         image = denorm_vae(image)
         fmask = denorm_vae(fmask)
-
-    bmask = 1.0 - fmask
-    if background_color == "white":
-        background = bmask * 1.0
-    elif background_color == "black":
-        background = bmask * 0.0
-    elif background_color == "random":
-        rng = rng or np.random.default_rng()
-        color = np.clip(rng.normal(0.0, 0.3, size=(3,)), 0.0, 1.0).astype(np.float32)
-        background = color * bmask
-    else:
-        raise ValueError(f"Invalid background color: {background_color}")
-
-    out = image * fmask + background
+    rng = rng or np.random.default_rng()
+    color = np.clip(rng.normal(0.0, 0.3, size=(3,)), 0.0, 1.0).astype(np.float32)
+    out = image * fmask + color * (1.0 - fmask)
     if vae_normalized:
         out = norm_vae(out)
     return out

@@ -30,13 +30,12 @@ class SamplingRunner:
     def _resolve_mesh(self):
         if self.mesh is not None:
             return self.mesh
-        import jax
+        # even on a single chip the wave path is the right default: its
+        # prefetch overlaps the next task's host prep (file IO + condition
+        # encode, minutes per task on slow hosts) with the in-flight denoise
+        from diffuman4d_tpu.parallel.mesh import make_mesh
 
-        if len(jax.devices()) > 1:
-            from diffuman4d_tpu.parallel.mesh import make_mesh
-
-            return make_mesh()
-        return None
+        return make_mesh()
 
     def inference(self) -> None:
         """All alternation rounds + completeness check
@@ -59,11 +58,23 @@ class SamplingRunner:
             )
             self.sampler.pipeline.enable_context_parallel(mesh)
             self.sampler.execute_tasks()
-        elif mesh is not None and mesh.shape["data"] > 1:
-            log.info("SPMD sampling over %d devices", mesh.shape["data"])
+        elif mesh is not None:
+            if mesh.shape["data"] > 1:
+                log.info("SPMD sampling over %d devices", mesh.shape["data"])
             self.sampler.execute_tasks_parallel(mesh)
         else:
             self.sampler.execute_tasks()
+        self._dump_phases()
+
+    def _dump_phases(self) -> None:
+        """Per-phase wall-clock table -> phases.json + job log (SURVEY §5
+        observability; the reference only has tqdm bars)."""
+        from diffuman4d_tpu.utils.tracing import dump_report, report
+
+        rep = report()
+        if rep:
+            dump_report(osp.join(self.sampler.output_dir, "phases.json"))
+            log.info("phase report: %s", rep)
 
     def evaluate(self, data_dir: str, scene_label: str, **kwargs) -> dict:
         """Masked PSNR/SSIM/LPIPS vs GT (sampling_runner.py:64-77)."""

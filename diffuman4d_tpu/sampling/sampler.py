@@ -368,16 +368,32 @@ class SlidingIterativeSampler:
         Returns (padded tasks, samples, conds, cells). Called *between* the
         previous wave's async denoise dispatch and its blocking output save,
         so this CPU work overlaps device compute (double-buffering)."""
+        from diffuman4d_tpu.utils.tracing import phase
+
         wave = tasks[i : i + n_wave]
         padded = wave + [wave[-1]] * (n_wave - len(wave))
         samples, conds, cells = [], [], []
+        prev_idx = None
         for j, task in enumerate(padded):
             # clamped key => padded duplicates compute bit-identical results,
             # making their grid scatter idempotent
-            sub = self._task_key(round_idx, min(i + j, len(tasks) - 1))
-            s = self.load_sample(task)
+            idx = min(i + j, len(tasks) - 1)
+            if idx == prev_idx:
+                # padded duplicate of the previous task: reuse its sample
+                # and conditions instead of re-reading/re-encoding
+                samples.append(samples[-1])
+                conds.append(conds[-1])
+                cells.append(cells[-1])
+                continue
+            prev_idx = idx
+            sub = self._task_key(round_idx, idx)
+            # sync=False: these run inside the denoise-overlap window —
+            # a device sync here would serialize the double-buffering
+            with phase("wave/load_sample", sync=False):
+                s = self.load_sample(task)
             samples.append(s)
-            conds.append(self.pipeline.prepare_conditions(s, sub))
+            with phase("wave/prepare_conditions", sync=False):
+                conds.append(self.pipeline.prepare_conditions(s, sub))
             cells.append(self._grid_cells(s.labels))
         return padded, samples, conds, cells
 
@@ -458,13 +474,18 @@ class SlidingIterativeSampler:
                         round_idx, tasks, wave_starts[w_num + 1], n_wave
                     )
 
-                ti_host = np.asarray(jax.device_get(ti_b_new))  # small sync
+                from diffuman4d_tpu.utils.tracing import phase
+
+                with phase("wave/denoise_block", sync=False):
+                    # blocks until the wave's denoise has finished
+                    ti_host = np.asarray(jax.device_get(ti_b_new))
                 for k in range(n_real):
                     s_idx, t_idx_cells = cells[k]
                     self.grid_t_idx[s_idx, t_idx_cells] = ti_host[k]
-                    self._save_task_outputs(
-                        padded[k], samples[k], lat_b[k], ti_host[k]
-                    )
+                    with phase("wave/save_outputs", sync=False):
+                        self._save_task_outputs(
+                            padded[k], samples[k], lat_b[k], ti_host[k]
+                        )
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
