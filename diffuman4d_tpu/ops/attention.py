@@ -97,6 +97,7 @@ def dot_product_attention(
             flash_attention_bundled,
             flash_attention_v2,
             flash_attention_v3,
+            flash_attention_v4,
             flash_supported,
         )
 
@@ -126,12 +127,17 @@ def dot_product_attention(
                 if e["impl"] == "pallas_v2" and s % 2048 == 0:
                     return flash_attention_v2(q, k, v)
                 if (
-                    e["impl"] == "pallas_v3"
+                    e["impl"] in ("pallas_v3", "pallas_v4")
                     and d <= 128
                     and s % min(bq, s) == 0
                     and k.shape[1] % min(bk, k.shape[1]) == 0
                 ):
-                    return flash_attention_v3(
+                    fn = (
+                        flash_attention_v4
+                        if e["impl"] == "pallas_v4"
+                        else flash_attention_v3
+                    )
+                    return fn(
                         q, k, v, block_q=min(bq, s), block_k=min(bk, k.shape[1])
                     )
                 if s % min(bq, s) == 0 and k.shape[1] % min(bk, k.shape[1]) == 0:

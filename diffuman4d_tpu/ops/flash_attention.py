@@ -316,6 +316,126 @@ def flash_attention_v3(
     return out.reshape(b, h, d, sq).transpose(0, 3, 1, 2)
 
 
+def _flash_kernel_v4(q_ref, k_ref, vt_ref, o_ref, s_a, s_b, m_s, acc_s, *, num_kv):
+    """v3 plus: the softmax normalizer rides the PV matmul.
+
+    V^T arrives with an appended ones-row ((d+1, bk)); row d of the
+    (d+1, bq) accumulator is then sum_k P[k, q] — the online-softmax
+    normalizer — computed by the MXU instead of a separate VPU reduction
+    over the (bk, bq) score block. The alpha rescale of the accumulator
+    renormalizes output and normalizer together, so the VPU per score
+    element does only max + exp2 (v3 also paid a sum pass, which made it
+    VPU-bound at ~92 TF/s on v5e)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    @pl.when((j < num_kv) & (j % 2 == 0))
+    def _score_a():
+        s_a[:] = jax.lax.dot_general(
+            k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when((j < num_kv) & (j % 2 == 1))
+    def _score_b():
+        s_b[:] = jax.lax.dot_general(
+            k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _process(s_ref):
+        st = s_ref[:]  # (bk, bq) fp32, log2 units
+        m_prev = m_s[:1, :]
+        m_cur = jnp.max(st, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(st - m_new)
+        # rows 0..d-1: sum_k p*V; row d: sum_k p  (normalizer)
+        pv = jax.lax.dot_general(
+            vt_ref[:], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_s[:] = acc_s[:] * alpha + pv
+        m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+
+    @pl.when((j > 0) & (j % 2 == 1))
+    def _process_a():
+        _process(s_a)
+
+    @pl.when((j > 0) & (j % 2 == 0))
+    def _process_b():
+        _process(s_b)
+
+    @pl.when(j == num_kv)
+    def _finalize():
+        d = o_ref.shape[0]
+        o_ref[:] = (acc_s[:d, :] / acc_s[d : d + 1, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_v4(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 2048,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"seq lens ({sq}, {sk}) not divisible by blocks")
+
+    log2e = 1.4426950408889634
+    qs = (q * jnp.asarray(log2e / (d**0.5), q.dtype)).astype(q.dtype)
+
+    qr = qs.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, sk)
+    # ones-row -> the PV matmul also produces the softmax normalizer
+    vt1 = jnp.concatenate([vt, jnp.ones((b * h, 1, sk), vt.dtype)], axis=1)
+
+    num_q = sq // block_q
+    num_kv = sk // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v4, num_kv=num_kv),
+        grid=(b * h, num_q, num_kv + 1),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec(
+                (None, block_k, d),
+                lambda bh, i, j, _n=num_kv: (bh, jnp.minimum(j, _n - 1), 0),
+            ),
+            pl.BlockSpec(
+                (None, d + 1, block_k),
+                lambda bh, i, j: (bh, 0, jnp.maximum(j - 1, 0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((None, d, block_q), lambda bh, i, j: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, block_q), jnp.float32),
+            pltpu.VMEM((block_k, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max (log2)
+            pltpu.VMEM((d + 1, block_q), jnp.float32),  # acc^T + normalizer
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qr.size + kr.size + vt1.size + b * h * sq * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vt1)
+
+    return out.reshape(b, h, d, sq).transpose(0, 3, 1, 2)
+
+
 def flash_supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     """Whether shapes divide cleanly into flash blocks (else XLA fallback)."""
     if q.ndim != 4 or k.shape != v.shape:

@@ -68,9 +68,13 @@ def make_cp_unet_apply(unet: UNetMultiviewCondition, mesh, axis: str = "model"):
                     pose_features=pfl,
                 )
 
+            # check_vma=False: lets this shard_map also run under
+            # jax.vmap(..., spmd_axis_name="data") for combined data x model
+            # wave sampling (the vma check rejects the mixed manual axes)
             return shard_map(
                 local, mesh=mesh,
                 in_specs=(P(), sh, sh, sh, sh), out_specs=sh,
+                check_vma=False,
             )(params, x, t, tem, pose_features)
 
         def local(p, xl, tl, teml):
@@ -79,7 +83,8 @@ def make_cp_unet_apply(unet: UNetMultiviewCondition, mesh, axis: str = "model"):
             )
 
         return shard_map(
-            local, mesh=mesh, in_specs=(P(), sh, sh, sh), out_specs=sh
+            local, mesh=mesh, in_specs=(P(), sh, sh, sh), out_specs=sh,
+            check_vma=False,
         )(params, x, t, tem)
 
     return apply_fn

@@ -137,13 +137,17 @@ class Diffuman4DPipeline:
         """Shard each window step's frame axis over ``mesh[axis]`` so one
         task's denoise uses every device on that axis (the reference pins
         one window step to one GPU, sampling_utils.py:44-51; this is a TPU
-        win axis — see parallel/cp_unet.py)."""
+        win axis — see parallel/cp_unet.py). Composes with the task-wave
+        "data" axis: batched sliding then vmaps with spmd_axis_name="data"
+        so each mesh row denoises its own task context-parallel."""
         from diffuman4d_tpu.parallel.cp_unet import make_cp_unet_apply
 
         if mesh.shape[axis] > 1:
             self._unet_fwd = make_cp_unet_apply(self.unet, mesh, axis)
+            self._cp_active = True
         else:
             self._unet_fwd = self._plain_unet_fwd
+            self._cp_active = False
         self._rejit_sliding()  # drop traces that baked in the old forward
 
     # -- condition preparation ----------------------------------------
@@ -423,7 +427,14 @@ class Diffuman4DPipeline:
         """vmap of the sliding loop over a leading task axis — tasks within
         an alternation round are independent (reference executes them from a
         thread queue in arbitrary order, sampling_runner.py:26-43), so SPMD
-        over a mesh 'data' axis is exact."""
+        over a mesh 'data' axis is exact. With context parallelism active
+        the vmap carries spmd_axis_name="data" so the per-task shard_map
+        (frame axis on "model") nests under the task axis — combined
+        data x model meshes denoise data-many tasks at model-chip latency."""
+        vmap_kw = (
+            {"spmd_axis_name": "data"} if getattr(self, "_cp_active", False)
+            else {}
+        )
         if aux_b is not None:
             def one(cond, latents, t_idx, aux):
                 return self._sliding_impl(
@@ -431,7 +442,7 @@ class Diffuman4DPipeline:
                     domain=domain, num_denoising_steps=num_denoising_steps,
                 )
 
-            return jax.vmap(one)(cond_b, latents_b, t_idx_b, aux_b)
+            return jax.vmap(one, **vmap_kw)(cond_b, latents_b, t_idx_b, aux_b)
 
         def one(cond, latents, t_idx):
             return self._sliding_impl(
@@ -439,7 +450,7 @@ class Diffuman4DPipeline:
                 domain=domain, num_denoising_steps=num_denoising_steps,
             )
 
-        return jax.vmap(one)(cond_b, latents_b, t_idx_b)
+        return jax.vmap(one, **vmap_kw)(cond_b, latents_b, t_idx_b)
 
     def _window_chunk_size(self, n_windows: int) -> int:
         """Largest chunk <= window_chunk that divides n_windows evenly, so

@@ -47,17 +47,15 @@ class SamplingRunner:
         (1, N) puts all chips on ONE task's latency."""
         mesh = self._resolve_mesh()
         if mesh is not None and mesh.shape.get("model", 1) > 1:
-            if mesh.shape["data"] > 1:
-                log.warning(
-                    "combined data x model sampling is not supported yet; "
-                    "running tasks sequentially with context-parallel steps"
-                )
             log.info(
-                "context-parallel window steps over %d devices ('model' axis)",
+                "context-parallel window steps over %d devices ('model' axis)"
+                "%s",
                 mesh.shape["model"],
+                f" x {mesh.shape['data']} task waves ('data' axis)"
+                if mesh.shape["data"] > 1 else "",
             )
             self.sampler.pipeline.enable_context_parallel(mesh)
-            self.sampler.execute_tasks()
+            self.sampler.execute_tasks_parallel(mesh)
         elif mesh is not None:
             if mesh.shape["data"] > 1:
                 log.info("SPMD sampling over %d devices", mesh.shape["data"])

@@ -72,6 +72,7 @@ def main():
         flash_attention_bundled,
         flash_attention_v2,
         flash_attention_v3,
+        flash_attention_v4,
     )
     from diffuman4d_tpu.utils.jax_setup import setup
 
@@ -118,6 +119,12 @@ def main():
                 candidates[f"v3_{bq}x{bk}"] = (
                     "pallas_v3", bq, bk,
                     lambda bq=bq, bk=bk: flash_attention_v3(
+                        q, q, q, block_q=bq, block_k=bk
+                    ),
+                )
+                candidates[f"v4_{bq}x{bk}"] = (
+                    "pallas_v4", bq, bk,
+                    lambda bq=bq, bk=bk: flash_attention_v4(
                         q, q, q, block_q=bq, block_k=bk
                     ),
                 )

@@ -163,3 +163,60 @@ def test_cp_pipeline_sliding_denoise(tmp_path):
     lat_cp, ti_cp = run(True, tmp_path / "cp")
     np.testing.assert_array_equal(ti_ref, ti_cp)
     np.testing.assert_allclose(lat_ref, lat_cp, atol=1e-5)
+
+
+def test_combined_data_model_mesh(tmp_path):
+    """Combined data x model wave sampling: a (2, 4) mesh — waves of 2
+    tasks, each context-parallel over 4 devices — must reproduce the
+    sequential single-device grid exactly. This is the full production
+    layout (runner.inference with both axes > 1); the vmap over tasks
+    carries spmd_axis_name='data' around the frame-axis shard_map."""
+    from diffuman4d_tpu.data.dataset import SpaTemDataset
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline, SlidingConfig
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+
+    data_dir = str(tmp_path / "scene")
+    make_synthetic_scene(data_dir, "scene0", num_cams=6, num_frames=2, image_size=64)
+    dataset = SpaTemDataset(
+        data_dir=data_dir, scene_label="scene0", height=64, width=64
+    )
+    unet = UNetMultiviewCondition(TINY, dtype=jnp.float32, attn_implementation="xla")
+    vae = AutoencoderKL(
+        VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1),
+        dtype=jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(
+            key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 64, 64, 3)), num_frames=2,
+        ),
+        "vae": vae.init(key, jnp.zeros((1, 64, 64, 3))),
+    }
+
+    def run(mesh, out):
+        pipeline = Diffuman4DPipeline(
+            unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,
+            sliding=SlidingConfig(window_size=2, alternation_rounds=1,
+                                  guidance_scale=2.0),
+            image_size=64, vae_batch=4,
+        )
+        sampler = SlidingIterativeSampler(
+            dataset, pipeline, output_dir=str(out),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+            input_spa_labels=[0, 3],
+        )
+        if mesh is None:
+            sampler.execute_tasks()
+        else:
+            pipeline.enable_context_parallel(mesh)
+            sampler.execute_tasks_parallel(mesh)
+        return np.asarray(sampler.grid_latents), sampler.grid_t_idx.copy()
+
+    lat_ref, ti_ref = run(None, tmp_path / "ref")
+    lat_cm, ti_cm = run(make_mesh(data=2, model=4), tmp_path / "combined")
+    np.testing.assert_array_equal(ti_ref, ti_cm)
+    np.testing.assert_allclose(lat_ref, lat_cm, atol=1e-5)

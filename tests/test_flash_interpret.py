@@ -141,6 +141,41 @@ def test_flash_v3_matches_xla_interpret(seq, bq, bk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("seq,bq,bk", [(512, 128, 64), (256, 256, 256)])
+def test_flash_v4_matches_xla_interpret(seq, bq, bk):
+    """v4 (normalizer-in-matmul via a ones-row on V^T) parity."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v4
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v4(q, k, v, block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_v4_large_logit_stability():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v4
+
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 256, 1, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v4(q, k, v, block_q=64, block_k=64)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_flash_v3_large_logit_stability():
     from jax.experimental.pallas import tpu as pltpu
 
