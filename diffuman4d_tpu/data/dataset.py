@@ -72,6 +72,8 @@ class SpaTemDataset:
         width: int = 1024,
         has_gt_target: bool = True,
         io_workers: int = 8,
+        cache_frames: bool = True,
+        frame_cache_mb: int = 16384,
     ):
         self.data_dir = osp.expandvars(data_dir)
         self.camera_path_pat = camera_path_pat
@@ -83,6 +85,17 @@ class SpaTemDataset:
         self.width = width
         self.has_gt_target = has_gt_target
         self._pool = ThreadPoolExecutor(max_workers=io_workers)
+        # Processed-frame cache: alternation rounds revisit every frame
+        # several times (each spatial AND temporal task re-reads its
+        # cameras; sliding_iterative_sampler.py reloads per task), and
+        # decode+crop+resize+composite costs seconds per frame on small
+        # hosts. Frames are cached fp16 (~13 MB per 1024^2 frame) up to
+        # ``frame_cache_mb``, then the cache stops growing (no eviction —
+        # task order revisits old frames, LRU would thrash).
+        self.cache_frames = cache_frames
+        self._frame_cache: dict = {}
+        self._frame_cache_budget = frame_cache_mb * (1 << 20)
+        self._frame_cache_bytes = 0
 
         camera_path = self.camera_path_pat.format(
             data_dir=self.data_dir, scene_label=self.scene_label
@@ -98,6 +111,28 @@ class SpaTemDataset:
         return pat.format(
             data_dir=self.data_dir, scene_label=scene, spa_label=spa, tem_label=tem
         )
+
+    def _load_frame_cached(
+        self, label: tuple[str, str, str], input_spa_labels: list[str]
+    ) -> dict:
+        """fp16-cached :meth:`_load_frame`. fp16 carries more mantissa than
+        the bf16 the model computes in, so cached replays are lossless wrt
+        model inputs; the fp16 wire format also halves the host->device
+        bytes (pipeline._h2d)."""
+        if not self.cache_frames:
+            return self._load_frame(label, input_spa_labels)
+        key = (label, tuple(sorted(input_spa_labels)))
+        hit = self._frame_cache.get(key)
+        if hit is not None:
+            return hit
+        f = self._load_frame(label, input_spa_labels)
+        f["pixel"] = f["pixel"].astype(np.float16)
+        f["skeleton"] = f["skeleton"].astype(np.float16)
+        nbytes = f["pixel"].nbytes + f["skeleton"].nbytes
+        if self._frame_cache_bytes + nbytes <= self._frame_cache_budget:
+            self._frame_cache[key] = f
+            self._frame_cache_bytes += nbytes
+        return f
 
     def _load_frame(
         self, label: tuple[str, str, str], input_spa_labels: list[str]
@@ -211,7 +246,9 @@ class SpaTemDataset:
             ]
 
         frames = list(
-            self._pool.map(lambda lb: self._load_frame(lb, input_spa_labels), labels)
+            self._pool.map(
+                lambda lb: self._load_frame_cached(lb, input_spa_labels), labels
+            )
         )
 
         pixel_values = np.stack([f["pixel"] for f in frames])
