@@ -116,9 +116,9 @@ class SpaTemDataset:
         self, label: tuple[str, str, str], input_spa_labels: list[str]
     ) -> dict:
         """fp16-cached :meth:`_load_frame`. fp16 carries more mantissa than
-        the bf16 the model computes in, so cached replays are lossless wrt
-        model inputs; the fp16 wire format also halves the host->device
-        bytes (pipeline._h2d)."""
+        the bf16 the model computes in; cached replays match the uncached
+        inputs to within one bf16 ulp (double rounding on boundary values)
+        and halve cache RAM."""
         if not self.cache_frames:
             return self._load_frame(label, input_spa_labels)
         key = (label, tuple(sorted(input_spa_labels)))

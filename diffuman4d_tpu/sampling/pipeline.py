@@ -237,14 +237,20 @@ class Diffuman4DPipeline:
         )
 
     def _h2d(self, x: np.ndarray) -> jnp.ndarray:
-        """fp32 host array -> device array in model dtype via an fp16 wire
-        format: numpy's fp32->fp16 cast is SIMD-fast (ml_dtypes bf16 casts
-        run at ~MB/s on host), it halves the host->device bytes, and fp16
-        carries more mantissa than the bf16 compute dtype, so nothing the
-        model sees changes. Full-precision models skip the shortcut."""
+        """Host array -> device bf16 via a uint16 wire format holding the
+        exact bf16 bit patterns. The round-to-nearest-even fp32->bf16
+        conversion is done with integer ops on the host (numpy's ml_dtypes
+        bf16 cast runs at ~MB/s; this is plain SIMD), halving the
+        host->device bytes while staying bit-identical to a device-side
+        fp32->bf16 cast. Full-precision models skip the shortcut."""
         if self.unet.dtype != jnp.bfloat16:
             return jnp.asarray(x, self.unet.dtype)
-        return jnp.asarray(np.asarray(x, np.float16)).astype(jnp.bfloat16)
+        f32 = np.ascontiguousarray(x, np.float32)
+        u = f32.view(np.uint32)
+        # round to nearest even: add 0x7FFF + lsb-of-result, drop 16 bits
+        bits = ((u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
+                >> np.uint32(16)).astype(np.uint16)
+        return jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.bfloat16)
 
     def prepare_conditions(self, sample, key) -> dict:
         """Host Sample -> device condition dict. Only conditional rows'
