@@ -61,11 +61,20 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
     }
     state = create_train_state(pipeline.params["unet"], train_cfg)
 
-    rng = np.random.default_rng(loop_cfg.seed)
-    key = jax.random.PRNGKey(loop_cfg.seed)
+    # resume: restore the FULL train state (params + optimizer moments +
+    # step + EMA) from the newest state checkpoint, if any
+    start_step = 0
+    latest = _latest_state_dir(loop_cfg.out_dir)
+    if latest is not None:
+        state = _restore_state(latest, state)
+        start_step = int(state.step)
+        log.info("resumed train state at step %d from %s", start_step, latest)
+
+    rng = np.random.default_rng(loop_cfg.seed + start_step)
+    key = jax.random.fold_in(jax.random.PRNGKey(loop_cfg.seed), start_step)
     t0 = time.time()
     with open(metrics_path, "a") as mf:
-        for step_i in range(loop_cfg.steps):
+        for step_i in range(start_step, loop_cfg.steps):
             domain = loop_cfg.domains[step_i % len(loop_cfg.domains)]
             raw = batcher.make_batch(rng, loop_cfg.batch_size, domain)
             key, k_enc, k_step = jax.random.split(key, 3)
@@ -92,10 +101,52 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
             if (step_i + 1) % loop_cfg.checkpoint_every == 0 or step_i == loop_cfg.steps - 1:
                 from diffuman4d_tpu.io.checkpoints import save_native
 
-                ck = osp.join(loop_cfg.out_dir, f"ckpt_{int(metrics['step']):07d}")
-                save_native(ck, {"unet": state.params})
-                log.info("checkpoint written: %s", ck)
+                n = int(metrics["step"])
+                # inference-ready params (EMA when enabled, like SD releases)
+                infer = (
+                    {"params": state.ema_params}
+                    if state.ema_params is not None else state.params
+                )
+                save_native(osp.join(loop_cfg.out_dir, f"ckpt_{n:07d}"),
+                            {"unet": infer})
+                # full resumable state
+                save_native(osp.join(loop_cfg.out_dir, f"state_{n:07d}"),
+                            _state_to_tree(state))
+                log.info("checkpoint written at step %d", n)
     return state
+
+
+def _state_to_tree(state) -> dict:
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
+
+
+def _latest_state_dir(out_dir: str):
+    if not osp.isdir(out_dir):
+        return None
+    cands = sorted(d for d in os.listdir(out_dir) if d.startswith("state_"))
+    return osp.join(out_dir, cands[-1]) if cands else None
+
+
+def _restore_state(path: str, template):
+    """Orbax restore with the live state as the structure/sharding target."""
+    import orbax.checkpoint as ocp
+
+    from diffuman4d_tpu.training.trainer import TrainState
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = _state_to_tree(template)
+    restored = ckptr.restore(osp.abspath(path), tree)
+    return TrainState(
+        restored["params"], restored["opt_state"], restored["step"],
+        restored.get("ema_params"),
+    )
 
 
 def main(argv=None) -> int:

@@ -40,18 +40,26 @@ class TrainConfig:
     grad_clip: float = 1.0
     prediction_type: str = "epsilon"  # epsilon | v_prediction
     remat: bool = True  # rematerialize the UNet to trade FLOPs for HBM
+    # LR schedule: constant | cosine (linear warmup in both cases)
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 100_000  # cosine horizon
+    # exponential moving average of params; 0 disables (SD fine-tunes
+    # conventionally sample from the EMA weights)
+    ema_decay: float = 0.0
 
 
 class TrainState:
-    """Minimal pytree train state."""
+    """Minimal pytree train state (params, optimizer, step, optional EMA)."""
 
-    def __init__(self, params, opt_state, step):
+    def __init__(self, params, opt_state, step, ema_params=None):
         self.params = params
         self.opt_state = opt_state
         self.step = step
+        self.ema_params = ema_params
 
     def tree_flatten(self):
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step, self.ema_params), None
 
     @classmethod
     def tree_unflatten(cls, _, children):
@@ -61,18 +69,34 @@ class TrainState:
 jax.tree_util.register_pytree_node_class(TrainState)
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    if cfg.lr_schedule == "constant":
+        if cfg.warmup_steps:
+            return optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, max(cfg.warmup_steps, 1), cfg.total_steps
+        )
+    raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule}")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
-            cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
+            make_lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
+            weight_decay=cfg.weight_decay,
         ),
     )
 
 
 def create_train_state(params, cfg: TrainConfig) -> TrainState:
     opt = make_optimizer(cfg)
-    return TrainState(params, opt.init(params["params"]), jnp.zeros((), jnp.int32))
+    ema = jax.tree.map(jnp.copy, params["params"]) if cfg.ema_decay else None
+    return TrainState(
+        params, opt.init(params["params"]), jnp.zeros((), jnp.int32), ema
+    )
 
 
 def diffusion_loss(
@@ -171,8 +195,15 @@ def make_train_step(
             grads, state.opt_state, state.params["params"]
         )
         new_params = optax.apply_updates(state.params["params"], updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema, new_params,
+            )
         new_state = TrainState(
-            {"params": new_params}, opt_state, state.step + 1
+            {"params": new_params}, opt_state, state.step + 1, ema
         )
         metrics = {
             "loss": loss,

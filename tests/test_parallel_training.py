@@ -211,3 +211,78 @@ class TestTraining:
         lat_par, ti_par = run(True, tmp_path / "par3")
         np.testing.assert_array_equal(ti_seq, ti_par)
         np.testing.assert_allclose(lat_seq, lat_par, atol=2e-5)
+
+
+class TestTrainerExtras:
+    def test_ema_schedule_and_state_resume(self, tmp_path):
+        """EMA tracking, warmup-cosine schedule, and full train-state
+        checkpoint/restore (params + optimizer moments + step + EMA)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+        from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+        from diffuman4d_tpu.training.loop import (
+            _latest_state_dir, _restore_state, _state_to_tree,
+        )
+        from diffuman4d_tpu.training.trainer import (
+            TrainConfig, create_train_state, make_train_step,
+        )
+
+        cfg = UNetConfig(
+            in_channels=11, block_out_channels=(8, 16),
+            num_attention_heads=(1, 2), layers_per_block=1,
+            norm_num_groups=4, num_3d_attn_blocks=1,
+        )
+        unet = UNetMultiviewCondition(cfg, dtype=jnp.float32,
+                                      attn_implementation="xla")
+        key = jax.random.PRNGKey(0)
+        params = unet.init(
+            key, jnp.zeros((2, 8, 8, 11)), jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 64, 64, 3)), num_frames=2,
+        )
+        tcfg = TrainConfig(
+            learning_rate=1e-3, remat=False, ema_decay=0.9,
+            lr_schedule="cosine", warmup_steps=2, total_steps=10,
+        )
+        state = create_train_state(params, tcfg)
+        assert state.ema_params is not None
+        step = jax.jit(make_train_step(unet, Scheduler(SchedulerConfig()), tcfg))
+
+        B, L, hw = 1, 4, 8
+        batch = {
+            "latents_x0": jnp.ones((B, L, hw, hw, 4)) * 0.1,
+            "plucker": jnp.zeros((B, L, hw, hw, 6)),
+            "skeletons": jnp.zeros((B, L, hw * 8, hw * 8, 3)),
+            "is_cond": jnp.asarray([[True, True, False, False]]),
+        }
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert int(metrics["step"]) == 3
+
+        # EMA must lag the live params (decay 0.9, few steps)
+        p = jax.tree.leaves(state.params["params"])[0]
+        e = jax.tree.leaves(state.ema_params)[0]
+        assert not np.allclose(np.asarray(p), np.asarray(e))
+
+        from diffuman4d_tpu.io.checkpoints import save_native
+
+        out = str(tmp_path / "run")
+        save_native(out + "/state_0000003", _state_to_tree(state))
+        latest = _latest_state_dir(out)
+        assert latest and latest.endswith("state_0000003")
+
+        fresh = create_train_state(params, tcfg)
+        restored = _restore_state(latest, fresh)
+        assert int(restored.step) == 3
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(restored.params["params"])[0]),
+            np.asarray(p),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(restored.ema_params)[0]), np.asarray(e)
+        )
+        # restored state steps further without error (optimizer moments OK)
+        restored, m2 = step(restored, batch, jax.random.PRNGKey(9))
+        assert int(m2["step"]) == 4
