@@ -39,13 +39,23 @@ def sliding_from(cfg: SamplerConfig) -> SlidingConfig:
 
 
 def init_random_params(
-    unet: UNetMultiviewCondition, vae: AutoencoderKL, image_size: int, seed: int = 0
+    unet: UNetMultiviewCondition,
+    vae: AutoencoderKL,
+    image_size: int,
+    seed: int = 0,
+    param_dtype=jnp.bfloat16,
 ) -> dict:
     """Random-init parameters. Conv/attention parameter shapes are input-
     size independent, so initialization always traces at the smallest legal
     latent (2^num_downsamples) — initializing at the runtime resolution
     would compile a full-size forward just to draw random numbers (~10min
-    for the production UNet on this environment's remote-compile path)."""
+    for the production UNet on this environment's remote-compile path).
+
+    Storage is cast to ``param_dtype`` (default bf16, matching the
+    checkpoint loader and the reference's bf16 from_pretrained): flax
+    initializes fp32, and fp32 storage costs the 0.87B-param UNet 3.5 GB
+    of HBM plus a loop-hoisted bf16 copy of every kernel at apply time —
+    the temporal window program OOMs a 16 GB chip that way."""
     del image_size  # param shapes don't depend on it
     min_latent = 2 ** (len(unet.config.block_out_channels) - 1)
     min_image = min_latent * vae.config.downscale_factor
@@ -56,7 +66,15 @@ def init_random_params(
         key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2
     )
     vae_params = vae.init(key, jnp.zeros((1, min_image, min_image, 3), unet.dtype))
-    return {"unet": unet_params, "vae": vae_params}
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(param_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    return {"unet": cast(unet_params), "vae": cast(vae_params)}
 
 
 def load_pipeline(
@@ -103,7 +121,12 @@ def load_pipeline(
             unet_config, dtype=dtype, attn_implementation=model_cfg.attn_implementation
         )
         vae = AutoencoderKL(vae_config, dtype=dtype)
-        params = init_random_params(unet, vae, data_cfg.height, sampler_cfg.seed)
+        # full-precision compute keeps full-precision storage (tiny/test
+        # configs); bf16 compute stores per the param_dtype knob
+        pdt = jnp.float32 if dtype == jnp.float32 else DTYPES[model_cfg.param_dtype]
+        params = init_random_params(
+            unet, vae, data_cfg.height, sampler_cfg.seed, param_dtype=pdt
+        )
         return Diffuman4DPipeline(
             unet, vae, scheduler, params, sliding=sliding, image_size=data_cfg.height
         )
