@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     from diffuman4d_tpu.utils.jax_setup import setup as _jax_setup
 
     _jax_setup()
+    # multi-host (TPU pod) runs: env-driven, no-op on a single host
+    from diffuman4d_tpu.parallel.distributed import initialize as _dist_init
+
+    _dist_init()
     cfg = build_config(argv)
     print(config_tree(cfg))
 
