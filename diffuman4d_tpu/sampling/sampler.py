@@ -18,10 +18,14 @@ TPU-first redesign:
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from diffuman4d_tpu.data.dataset import Sample, SpaTemDataset
 from diffuman4d_tpu.sampling.outputs import (
@@ -476,6 +480,7 @@ class SlidingIterativeSampler:
 
                 from diffuman4d_tpu.utils.tracing import phase
 
+                t_wave = time.perf_counter()
                 with phase("wave/denoise_block", sync=False):
                     # blocks until the wave's denoise has finished
                     ti_host = np.asarray(jax.device_get(ti_b_new))
@@ -486,6 +491,13 @@ class SlidingIterativeSampler:
                         self._save_task_outputs(
                             padded[k], samples[k], lat_b[k], ti_host[k]
                         )
+                log.info(
+                    "round %d/%d (%s): tasks %d-%d/%d done (wave sync+save "
+                    "%.1fs)",
+                    round_idx + 1, len(self.all_tasks), padded[0].domain,
+                    i + 1, i + n_real, len(tasks),
+                    time.perf_counter() - t_wave,
+                )
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
