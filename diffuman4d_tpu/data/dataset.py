@@ -84,6 +84,13 @@ class SpaTemDataset:
         self.height = height
         self.width = width
         self.has_gt_target = has_gt_target
+        # IO threads beyond the core count are poison on small hosts: numpy
+        # releases the GIL, so N threads allocating multi-MB buffers on one
+        # core turn into a kernel mmap/page-fault storm (observed ~96%
+        # system time, file reads at KB/s)
+        import os as _os
+
+        io_workers = max(1, min(io_workers, _os.cpu_count() or 1))
         self._pool = ThreadPoolExecutor(max_workers=io_workers)
         # Processed-frame cache: alternation rounds revisit every frame
         # several times (each spatial AND temporal task re-reads its
