@@ -105,19 +105,24 @@ def main():
         # (B*T, HW, C) with T=16 frames (spatial domain, CFG batch 32)
         from diffuman4d_tpu.models.transformer import MultiviewTransformerBlock
 
-        for hw, c, heads in ((128, 320, 5), (64, 640, 10), (32, 1280, 20)):
+        # num_frames mirrors the real gating: 3D regroup only at <=64^2
+        # (num_3d_attn_blocks=3 leaves the 128^2 stage per-frame 2D;
+        # 16 frames x 128^2 would be a 262k-token attention that OOMs and
+        # never occurs in the model)
+        for hw, c, heads, nf in ((128, 320, 5, 1), (64, 640, 10, 16),
+                                 (32, 1280, 20, 16)):
             tokens = hw * hw
             xt = jax.random.normal(key, (32, tokens, c), jnp.bfloat16)
             blk = MultiviewTransformerBlock(num_heads=heads, head_dim=64,
                                             dtype=jnp.bfloat16)
-            bp = blk.init(key, xt, num_frames=16)
-            f = jax.jit(lambda p, x: blk.apply(p, x, num_frames=16))
+            bp = blk.init(key, xt, num_frames=nf)
+            f = jax.jit(lambda p, x: blk.apply(p, x, num_frames=nf))
             dt = timed(f, bp, xt, n=3)
-            s3d = 16 * tokens  # 3D attention seq len
+            s3d = nf * tokens  # attn1 seq len (3D when nf>1)
             flops = (
-                4 * 2 * s3d * s3d * c          # 3D attn (2 CFG groups)
-                + 32 * 4 * tokens * tokens * c  # 2D attn per frame
-                + 32 * tokens * (8 * c * c + 16 * c * c)  # qkv/proj x2 + GEGLU FF
+                4 * (32 // nf) * s3d * s3d * c           # attn1
+                + 32 * 4 * tokens * tokens * c           # attn2 per frame
+                + 32 * tokens * (8 * c * c + 16 * c * c)  # qkv/proj + FF
             )
             report(f"mvblock_{hw}x{c}", dt, flops=flops)
 
