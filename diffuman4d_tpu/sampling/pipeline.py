@@ -89,6 +89,10 @@ class Diffuman4DPipeline:
         vae_batch: int = 4,
         vae_decode_batch: int | None = None,
         window_chunk: int | None = 8,
+        cond_cache: bool = True,
+        skel_cache_mb: int = 3072,
+        pix_cache_mb: int = 512,
+        cond_seed: int = 0,
     ):
         # decode at 1024^2 peaks ~1 GB activations per image in the decoder's
         # upper stages; small decode batches keep HBM headroom on 16 GB chips
@@ -109,11 +113,39 @@ class Diffuman4DPipeline:
         self.latent_channels = vae.config.latent_channels
         self.vae_batch = vae_batch
         self.scheduler = scheduler.set_timesteps(sliding.total_steps)
+        # Device-resident per-frame condition caches. Measured on the
+        # demo_4d_tiny run (phases.json): prepare_conditions was 77% of
+        # wall clock, dominated by re-uploading the same frames' skeletons
+        # (~300 MB/task) through a host->device path that crawls while the
+        # chip denoises. Tasks revisit every frame several times across
+        # alternation rounds, so skeletons are kept on device as uint8
+        # (quantization <= 1/255 — finer than bf16's ulp near +-1) and
+        # conditional pixel latents are cached per frame with
+        # frame-deterministic encode keys (cache hits are bit-identical to
+        # recomputation, independent of task order — same philosophy as
+        # grid-indexed init noise).
+        self.cond_cache = cond_cache
+        self.cond_seed = cond_seed
+        self._skel_cache: dict = {}
+        self._skel_bytes = 0
+        self._skel_budget = skel_cache_mb * (1 << 20)
+        self._pix_cache: dict = {}
+        self._pix_bytes = 0
+        self._pix_budget = pix_cache_mb * (1 << 20)
 
         self._unet_fwd = self._plain_unet_fwd
         self._encode_j = jax.jit(self._encode_impl)
         self._decode_j = jax.jit(self._decode_impl)
         self._decode_u8_j = jax.jit(self._decode_u8_impl)
+        self._moments_j = jax.jit(
+            lambda p, x: self.vae.apply(p, x, method="moments")
+        )
+        self._sample_lat_j = jax.jit(self._sample_lat_impl)
+        self._skel_norm_j = jax.jit(
+            lambda u8: (u8.astype(jnp.float32) / 127.5 - 1.0).astype(
+                self.unet.dtype
+            )
+        )
         self._pose_j = jax.jit(self._pose_impl)
         self._plucker_j = jax.jit(self._plucker_impl)
         self._rejit_sliding()
@@ -252,6 +284,75 @@ class Diffuman4DPipeline:
                 >> np.uint32(16)).astype(np.uint16)
         return jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.bfloat16)
 
+    def _frame_key(self, label) -> jax.Array:
+        """Deterministic per-frame PRNG key: the posterior draw for a
+        frame's conditional latent is a function of (cond_seed, label)
+        only, so cached encodes are bit-identical to recomputation
+        regardless of task batching or execution order."""
+        import zlib
+
+        h = zlib.crc32(repr(label).encode()) & 0x7FFFFFFF
+        return jax.random.fold_in(jax.random.PRNGKey(self.cond_seed), h)
+
+    def _sample_lat_impl(self, mean, logvar, keys):
+        def one(m, lv, k):
+            z = m.astype(jnp.float32) + jnp.exp(0.5 * lv) * jax.random.normal(
+                k, m.shape, jnp.float32
+            )
+            return z
+
+        z = jax.vmap(one)(mean, logvar, keys)
+        return (z * self.vae.config.scaling_factor).astype(self.unet.dtype)
+
+    def _cond_latents_cached(self, sample, cond_rows) -> jnp.ndarray:
+        """Per-frame cached conditional latents (device-resident; ~128 KB
+        per frame at 128^2). Misses run micro-batched VAE moments + a
+        per-frame deterministic posterior draw."""
+        labels = sample.labels
+        miss = [i for i in cond_rows if labels[i] not in self._pix_cache]
+        if miss:
+            pix_miss = self._h2d(sample.pixel_values[np.asarray(miss)])
+            means, logvars = [], []
+            for c, m in self._fixed_chunks(pix_miss, self.vae_batch):
+                mu, lv = self._moments_j(self.params["vae"], c)
+                means.append(mu[:m])
+                logvars.append(lv[:m])
+            mean = means[0] if len(means) == 1 else jnp.concatenate(means)
+            logvar = logvars[0] if len(logvars) == 1 else jnp.concatenate(logvars)
+            keys = jnp.stack([self._frame_key(labels[i]) for i in miss])
+            z = self._sample_lat_j(mean, logvar, keys)
+            fresh = {labels[i]: z[j] for j, i in enumerate(miss)}
+            for lb, row in fresh.items():
+                if self._pix_bytes + row.nbytes <= self._pix_budget:
+                    self._pix_cache[lb] = row
+                    self._pix_bytes += row.nbytes
+        else:
+            fresh = {}
+        return jnp.stack(
+            [self._pix_cache.get(labels[i], fresh.get(labels[i]))
+             for i in cond_rows]
+        )
+
+    def _skeletons_to_device(self, sample) -> jnp.ndarray:
+        """Per-frame device-resident uint8 skeleton cache; returns the
+        task's skeleton batch in model dtype without re-uploading frames
+        seen before."""
+        skeletons, labels = sample.skeletons, sample.labels
+        rows = []
+        for i, lb in enumerate(labels):
+            a = self._skel_cache.get(lb)
+            if a is None:
+                sk = np.asarray(skeletons[i], np.float32)
+                u8 = np.clip(np.rint((sk + 1.0) * 127.5), 0, 255).astype(
+                    np.uint8
+                )
+                a = jnp.asarray(u8)
+                if self._skel_bytes + u8.nbytes <= self._skel_budget:
+                    self._skel_cache[lb] = a
+                    self._skel_bytes += u8.nbytes
+            rows.append(a)
+        return self._skel_norm_j(jnp.stack(rows))
+
     def prepare_conditions(self, sample, key) -> dict:
         """Host Sample -> device condition dict. Only conditional rows'
         pixels are VAE-encoded; non-cond rows get zeros (never consumed)."""
@@ -263,8 +364,12 @@ class Diffuman4DPipeline:
         # device (48 full-res frames would be ~300 MB of dead HBM)
         cond_rows = np.nonzero(is_cond_input)[0]
         k_enc, key = jax.random.split(key)
-        pix_cond = self._h2d(sample.pixel_values[cond_rows])
-        z_cond = self.encode_images(pix_cond, k_enc)
+        use_cache = self.cond_cache and getattr(sample, "labels", None) is not None
+        if use_cache:
+            z_cond = self._cond_latents_cached(sample, list(cond_rows))
+        else:
+            pix_cond = self._h2d(sample.pixel_values[cond_rows])
+            z_cond = self.encode_images(pix_cond, k_enc)
         pix_latents = jnp.zeros(
             (n, self.latent_size, self.latent_size, self.latent_channels), dtype
         )
@@ -279,14 +384,18 @@ class Diffuman4DPipeline:
             "plucker": plucker,
             "is_cond": jnp.asarray(is_cond_input),
         }
+        skel_dev = (
+            self._skeletons_to_device(sample)
+            if use_cache else self._h2d(sample.skeletons)
+        )
         if self.unet.config.enable_pose_encoder:
-            feats, neg = self.pose_features(self._h2d(sample.skeletons))
+            feats, neg = self.pose_features(skel_dev)
             cond["pose_features"] = feats
             cond["neg_pose_feature"] = neg
         else:
             k_sk, key = jax.random.split(key)
             cond["skeleton_latents"] = self.encode_images(
-                self._h2d(sample.skeletons), k_sk
+                skel_dev, k_sk
             ).astype(dtype)
         return cond
 
