@@ -92,6 +92,24 @@ def smoke(unet, vae, params) -> None:
     sync(fwd(params["unet"], x, t, sk, tem))
     step_s = time.perf_counter() - t0
 
+    # temporal window step: CFG batch 48 (2 x 24 frames), flowing temporal
+    # indices — the other hot program (98k-token 3D attention)
+    Lt = 24
+    Bt = 2 * Lt
+    fwd_t = jax.jit(
+        lambda p, x, t, sk, tem: unet.apply(
+            p, x, t, skeletons=sk, tem_indices=tem, num_frames=Lt
+        )
+    )
+    xt = jnp.zeros((Bt, hw, hw, cfg.in_channels), jnp.bfloat16)
+    skt = jnp.zeros((Bt, hw * 8, hw * 8, 3), jnp.bfloat16)
+    tt = jnp.full((Bt,), 500, jnp.int32)
+    temt = jnp.tile(jnp.arange(Lt // 2, dtype=jnp.int32), 4)
+    sync(fwd_t(params["unet"], xt, tt, skt, temt))  # compile
+    t0 = time.perf_counter()
+    sync(fwd_t(params["unet"], xt, tt, skt, temt))
+    step_t_s = time.perf_counter() - t0
+
     enc = jax.jit(lambda p, x, k: vae.apply(p, x, k, method="encode"))
     dec = jax.jit(lambda p, z: vae.apply(p, z, method="decode"))
     img = jnp.zeros((4, 1024, 1024, 3), jnp.bfloat16)
@@ -114,6 +132,7 @@ def smoke(unet, vae, params) -> None:
                 "value": round(step_s, 4),
                 "unit": (
                     "sec/CFG-window-step (spatial, batch 32 @128^2) | "
+                    f"temporal_step {step_t_s:.3f} s (batch 48) | "
                     f"vae_encode {enc_s:.3f} s/img | vae_decode {dec_s:.3f} s/img @1024^2"
                 ),
                 "vs_baseline": round(1.4 / step_s, 3),  # ~1.4 s/step A100 est
