@@ -31,6 +31,52 @@ _POOL_AFTER = {4, 9, 16, 23}  # maxpool positions
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
+# VGG16 conv channel plan (in_ch -> out_ch per conv layer, torch index order)
+_CONV_CHANNELS = {
+    0: (3, 64), 2: (64, 64),
+    5: (64, 128), 7: (128, 128),
+    10: (128, 256), 12: (256, 256), 14: (256, 256),
+    17: (256, 512), 19: (512, 512), 21: (512, 512),
+    24: (512, 512), 26: (512, 512), 28: (512, 512),
+}
+_TAP_CHANNELS = [64, 128, 256, 512, 512]  # lin head input widths
+
+
+def expected_schema() -> dict[str, tuple[int, ...]]:
+    """The exact npz schema ``scripts/extract_lpips_weights.py`` must
+    produce (documented in docs/LPIPS_WEIGHTS.md — no pretrained VGG16
+    weights exist on this host, so the schema is the contract)."""
+    schema: dict[str, tuple[int, ...]] = {}
+    for i, (cin, cout) in _CONV_CHANNELS.items():
+        schema[f"features.{i}.weight"] = (cout, cin, 3, 3)  # torch OIHW
+        schema[f"features.{i}.bias"] = (cout,)
+    for k, c in enumerate(_TAP_CHANNELS):
+        schema[f"lin{k}.weight"] = (1, c, 1, 1)
+    return schema
+
+
+def validate_weights(weights: dict) -> None:
+    """Raise ValueError unless ``weights`` matches :func:`expected_schema`
+    exactly (missing/extra keys or wrong shapes). lin heads are accepted
+    in any reshapeable layout with the right element count."""
+    schema = expected_schema()
+    missing = sorted(set(schema) - set(weights))
+    extra = sorted(set(weights) - set(schema))
+    if missing or extra:
+        raise ValueError(
+            f"LPIPS weights npz key mismatch: missing={missing[:4]} "
+            f"extra={extra[:4]} (see docs/LPIPS_WEIGHTS.md for the schema)"
+        )
+    for key, shape in schema.items():
+        got = tuple(weights[key].shape)
+        ok = got == shape or (
+            key.startswith("lin") and int(np.prod(got)) == int(np.prod(shape))
+        )
+        if not ok:
+            raise ValueError(
+                f"LPIPS weights: {key} has shape {got}, expected {shape}"
+            )
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _lpips_jit(params: dict, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

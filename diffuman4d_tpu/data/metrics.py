@@ -18,6 +18,7 @@ crops differ per image, matching the reference's per-image loop :134-137).
 
 from __future__ import annotations
 
+import logging
 import os
 import os.path as osp
 
@@ -27,6 +28,8 @@ import numpy as np
 from PIL import Image
 
 from diffuman4d_tpu.data.images import to_float
+
+log = logging.getLogger(__name__)
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
@@ -82,13 +85,31 @@ def ssim(
 class LPIPS:
     """LPIPS(VGG16) — architecture implemented, weights loadable from a
     local file (``$LPIPS_WEIGHTS`` or lpips_vgg.npz next to the model dir).
-    Returns NaN when weights are unavailable."""
+    Returns NaN when weights are unavailable.
+
+    No pretrained VGG16 weights exist on this host (proof + the exact npz
+    schema: docs/LPIPS_WEIGHTS.md); running with weights produces the
+    reference's torchmetrics-equivalent number (metric_utils.py:19,
+    math parity-tested in tests/test_lpips_parity.py)."""
 
     def __init__(self, weights_path: str | None = None):
         self.weights = None
         path = weights_path or os.environ.get("LPIPS_WEIGHTS", "")
         if path and osp.isfile(path):
-            self.weights = dict(np.load(path))
+            from diffuman4d_tpu.data.lpips_vgg import validate_weights
+
+            weights = dict(np.load(path))
+            validate_weights(weights)  # loud, not a silent NaN downstream
+            self.weights = weights
+        else:
+            log.warning(
+                "LPIPS weights unavailable (looked at %s) — metrics.json "
+                "will report lpips=null. Produce lpips_vgg.npz with "
+                "scripts/extract_lpips_weights.py on a host with "
+                "torchvision VGG16 + LPIPS lin heads and point "
+                "$LPIPS_WEIGHTS at it; schema: docs/LPIPS_WEIGHTS.md",
+                path or "$LPIPS_WEIGHTS (unset)",
+            )
 
     @property
     def available(self) -> bool:

@@ -31,6 +31,18 @@ _TABLE = None
 _WARNED_SHAPES: set = set()
 
 
+def kernel_source_hash() -> str:
+    """Hash of the flash-attention kernel source. The dispatch table is
+    stamped with this at sweep time; a mismatch at load time means the
+    measured block sizes may be stale (kernel changed, table not
+    re-swept) and triggers a one-time warning."""
+    import hashlib
+
+    path = osp.join(osp.dirname(__file__), "flash_attention.py")
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
 def _dispatch_table() -> list[dict]:
     """Measured per-shape kernel winners (scripts/tune_attention.py writes
     ``attention_table.json`` from a sweep on the real chip). Replaces
@@ -41,7 +53,19 @@ def _dispatch_table() -> list[dict]:
         path = osp.join(osp.dirname(__file__), "attention_table.json")
         try:
             with open(path) as f:
-                _TABLE = json.load(f)["entries"]
+                data = json.load(f)
+            _TABLE = data["entries"]
+            stamped = data.get("kernel_hash")
+            if stamped is not None and stamped != kernel_source_hash():
+                log.warning(
+                    "attention_table.json was swept against a different "
+                    "flash_attention.py (table hash %s != current %s); "
+                    "block sizes may be stale — re-run "
+                    "scripts/tune_attention.py (or --verify to check the "
+                    "hot entries quickly)",
+                    stamped,
+                    kernel_source_hash(),
+                )
         except (OSError, KeyError, json.JSONDecodeError):
             _TABLE = []
     return _TABLE

@@ -4,7 +4,11 @@ real chip and persist the winners to
 ``ops/attention.py`` consults at run time (replaces the round-1 hardcoded
 thresholds; VERDICT r1 item 1a).
 
-Usage: python scripts/tune_attention.py [--quick] [--out PATH]
+Usage: python scripts/tune_attention.py [--quick] [--out PATH] [--verify]
+
+``--verify`` re-measures only the two highest-traffic entries of the
+existing table (<2 min) and reports drift vs the stamped TF/s — the
+cheap staleness check for after a kernel edit (VERDICT r2 weak item 6).
 """
 
 from __future__ import annotations
@@ -51,9 +55,62 @@ HOT_SHAPES = [
 ]
 
 
+def verify(table_path: str) -> int:
+    """Re-measure the two highest-TF/s entries of the existing table and
+    report drift vs the stamped numbers. Exit 1 if any entry lost >10%
+    (kernel regressed or the table is stale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffuman4d_tpu.ops import flash_attention as fa
+    from diffuman4d_tpu.ops.attention import kernel_source_hash
+    from diffuman4d_tpu.utils.jax_setup import setup
+
+    setup()
+    with open(table_path) as f:
+        data = json.load(f)
+    cur = kernel_source_hash()
+    if data.get("kernel_hash") != cur:
+        print(
+            f"NOTE: table stamped {data.get('kernel_hash')} != current "
+            f"kernel source {cur} — measuring drift"
+        )
+    impl_fns = {
+        "pallas": fa.flash_attention,
+        "pallas_v2": fa.flash_attention_v2,
+        "pallas_v3": fa.flash_attention_v3,
+        "pallas_v4": fa.flash_attention_v4,
+        "bundled": fa.flash_attention_bundled,
+    }
+    entries = sorted(
+        (e for e in data["entries"] if e["impl"] in impl_fns),
+        key=lambda e: -e.get("tflops", 0),
+    )[:2]
+    rc = 0
+    for e in entries:
+        q = jax.random.normal(
+            jax.random.PRNGKey(0), (e["b"], e["s"], e["h"], e["d"]), jnp.bfloat16
+        )
+        fn = impl_fns[e["impl"]]
+        dt = timed(
+            lambda: fn(q, q, q, block_q=e["block_q"], block_k=e["block_k"])
+        )
+        tf = 4 * e["b"] * e["h"] * e["s"] ** 2 * e["d"] / dt / 1e12
+        drift = tf / e["tflops"] - 1.0
+        status = "OK" if drift > -0.10 else "REGRESSED"
+        if status != "OK":
+            rc = 1
+        print(
+            f"{e['name']}: stamped {e['tflops']} TF/s, measured {tf:.1f} "
+            f"({drift:+.1%}) [{status}]"
+        )
+    return rc
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--verify", action="store_true")
     p.add_argument(
         "--out",
         default=osp.join(
@@ -62,11 +119,13 @@ def main():
         ),
     )
     args = p.parse_args()
+    if args.verify:
+        raise SystemExit(verify(osp.abspath(args.out)))
 
     import jax
     import jax.numpy as jnp
 
-    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.attention import _xla_attention, kernel_source_hash
     from diffuman4d_tpu.ops.flash_attention import (
         flash_attention,
         flash_attention_bundled,
@@ -158,6 +217,7 @@ def main():
         json.dump(
             {
                 "device": jax.devices()[0].device_kind,
+                "kernel_hash": kernel_source_hash(),
                 "entries": table,
             },
             f,

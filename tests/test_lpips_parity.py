@@ -138,3 +138,43 @@ def test_metrics_use_lpips_when_weights_exist(tmp_path, weights):
     b = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
     v = m(a, b)
     assert np.isfinite(v) and v > 0
+
+
+def test_expected_schema_matches_random_weights():
+    from diffuman4d_tpu.data.lpips_vgg import expected_schema, validate_weights
+
+    w = _random_weights()
+    assert set(expected_schema()) == set(w)
+    validate_weights(w)  # should not raise
+
+
+def test_validate_weights_rejects_bad_npz(tmp_path):
+    from diffuman4d_tpu.data.lpips_vgg import validate_weights
+
+    w = _random_weights()
+    bad = dict(w)
+    del bad["lin3.weight"]
+    with pytest.raises(ValueError, match="missing"):
+        validate_weights(bad)
+    bad = dict(w)
+    bad["features.0.weight"] = bad["features.0.weight"][:, :2]
+    with pytest.raises(ValueError, match="shape"):
+        validate_weights(bad)
+    # a corrupt file must fail loudly at evaluator construction, not NaN
+    from diffuman4d_tpu.data.metrics import LPIPS
+
+    path = tmp_path / "lpips_vgg.npz"
+    np.savez(path, **{k: v for k, v in w.items() if not k.startswith("lin")})
+    with pytest.raises(ValueError):
+        LPIPS(str(path))
+
+
+def test_missing_weights_warns_loudly(caplog):
+    import logging
+
+    from diffuman4d_tpu.data.metrics import LPIPS
+
+    with caplog.at_level(logging.WARNING, "diffuman4d_tpu.data.metrics"):
+        lp = LPIPS(None)
+    assert not lp.available
+    assert any("LPIPS_WEIGHTS" in r.message for r in caplog.records)
