@@ -81,8 +81,25 @@ def _make_betas(cfg: SchedulerConfig) -> np.ndarray:
 
 
 def _spaced_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.ndarray:
-    """Descending inference timesteps (diffusers set_timesteps semantics)."""
+    """Descending inference timesteps (diffusers set_timesteps semantics).
+
+    DPMSolverMultistep divides the range into ``n + 1`` segments and drops
+    the last timestep (its final step lands on sigma=0 instead) — a
+    different spacing from the DDIM family for the same config."""
     t, n = cfg.num_train_timesteps, num_inference_steps
+    if cfg.kind == "dpm++":
+        if cfg.timestep_spacing == "linspace":
+            ts = np.linspace(0, t - 1, n + 1).round()[::-1][:-1].astype(np.int64)
+        elif cfg.timestep_spacing == "leading":
+            ratio = t // (n + 1)
+            ts = (np.arange(n + 1) * ratio).round()[::-1][:-1].astype(np.int64)
+            ts = ts + cfg.steps_offset
+        elif cfg.timestep_spacing == "trailing":
+            ratio = t / n
+            ts = np.round(np.arange(t, 0, -ratio)).astype(np.int64) - 1
+        else:
+            raise ValueError(f"Unknown timestep spacing: {cfg.timestep_spacing}")
+        return ts
     if cfg.timestep_spacing == "linspace":
         ts = np.linspace(0, t - 1, n).round()[::-1].astype(np.int64)
     elif cfg.timestep_spacing == "leading":
@@ -123,13 +140,28 @@ class Scheduler:
     def set_timesteps(self, num_inference_steps: int) -> "Scheduler":
         new = Scheduler(self.config)
         new.num_inference_steps = num_inference_steps
-        ts = _spaced_timesteps(self.config, num_inference_steps)
-        new.timesteps = jnp.asarray(ts, jnp.int32)
         if self.config.kind == "euler":
+            # diffusers EulerDiscrete keeps FLOAT timesteps (fractional
+            # under linspace spacing) and interpolates sigmas at them
+            cfg, t, n = self.config, self.config.num_train_timesteps, num_inference_steps
+            if cfg.timestep_spacing == "linspace":
+                ts = np.linspace(0, t - 1, n, dtype=np.float64)[::-1].copy()
+            elif cfg.timestep_spacing == "leading":
+                ratio = t // n
+                ts = (np.arange(n) * ratio).round()[::-1].copy() + cfg.steps_offset
+            elif cfg.timestep_spacing == "trailing":
+                ratio = t / n
+                ts = np.round(np.arange(t, 0, -ratio)).astype(np.float64) - 1
+            else:
+                raise ValueError(f"Unknown timestep spacing: {cfg.timestep_spacing}")
+            new.timesteps = jnp.asarray(ts, jnp.float32)
             ac = np.cumprod(1.0 - _make_betas(self.config))
             sig_all = np.sqrt((1 - ac) / ac)
             sig = np.interp(ts, np.arange(len(sig_all)), sig_all)
             new.sigmas = jnp.asarray(np.concatenate([sig, [0.0]]), jnp.float32)
+        else:
+            ts = _spaced_timesteps(self.config, num_inference_steps)
+            new.timesteps = jnp.asarray(ts, jnp.int32)
         return new
 
     @property
@@ -187,6 +219,7 @@ class Scheduler:
         sample: jnp.ndarray,  # (B, ...) current latents
         key: Optional[jax.Array] = None,
         mask: Optional[jnp.ndarray] = None,  # (B,) True = step this row
+        noise: Optional[jnp.ndarray] = None,  # explicit ddpm variance noise
     ) -> jnp.ndarray:
         """One reverse step per sample at its own timestep. Rows with
         ``mask == False`` (conditional latents) pass through unchanged —
@@ -206,7 +239,7 @@ class Scheduler:
         elif self.config.kind == "ddim":
             out = self._ddim_step(eps, idx, x, key)
         elif self.config.kind == "ddpm":
-            out = self._ddpm_step(eps, idx, x, key)
+            out = self._ddpm_step(eps, idx, x, key, noise=noise)
         else:
             raise ValueError(self.config.kind)
 
@@ -264,8 +297,11 @@ class Scheduler:
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - std**2, 0.0)) * eps
         return jnp.sqrt(a_prev) * x0 + dir_xt + std * noise
 
-    def _ddpm_step(self, model_output, idx, x, key):
+    def _ddpm_step(self, model_output, idx, x, key, noise=None):
         a_t, a_prev, t, prev_t = self._alpha_pair(idx, x)
+        # diffusers DDPMScheduler uses alpha_prev = 1.0 ("one") past the
+        # schedule end, unlike DDIM's final_alpha_cumprod
+        a_prev = jnp.where(_bcast(prev_t >= 0, x), a_prev, 1.0)
         x0, eps = self._pred_x0(model_output, x, a_t)
         current_alpha = a_t / a_prev
         current_beta = 1.0 - current_alpha
@@ -280,10 +316,12 @@ class Scheduler:
         else:
             raise NotImplementedError(f"ddpm variance_type {vt}")
         var = jnp.clip(var, 1e-20, None)
-        if key is None:
-            raise ValueError("ddpm step requires a key")
-        noise = jax.random.normal(key, x.shape, jnp.float32)
-        has_noise = _bcast(prev_t >= 0, x)
+        if noise is None:
+            if key is None:
+                raise ValueError("ddpm step requires a key (or explicit noise)")
+            noise = jax.random.normal(key, x.shape, jnp.float32)
+        # diffusers adds variance noise only while t > 0
+        has_noise = _bcast(t > 0, x)
         return mean + jnp.where(has_noise, jnp.sqrt(var) * noise, 0.0)
 
     # -- DPM-Solver++ (2M): multistep with explicit per-latent history -----
@@ -324,12 +362,13 @@ class Scheduler:
         x = sample.astype(jnp.float32)
         idx = jnp.clip(t_index, 0, self.num_inference_steps - 1)
 
+        n = self.num_inference_steps
         t = jnp.take(self.timesteps, idx)
-        step_ratio = self.config.num_train_timesteps // self.num_inference_steps
-        # the inference step BEFORE t sits at a larger train timestep
-        t_prev2 = jnp.minimum(t + step_ratio, self.config.num_train_timesteps - 1)
-        t_next = jnp.maximum(t - step_ratio, 0)
-        is_last = (t - step_ratio) < 0
+        # schedule-indexed neighbors (diffusers DPMSolverMultistep uses
+        # sigmas[step_index - 1] / [step_index + 1], NOT t -+ train_ratio)
+        t_prev2 = jnp.take(self.timesteps, jnp.maximum(idx - 1, 0))
+        t_next = jnp.take(self.timesteps, jnp.minimum(idx + 1, n - 1))
+        is_last = idx == n - 1
 
         a_t = _bcast(jnp.take(self.alphas_cumprod, t), x)
         x0, _ = self._pred_x0(model_output.astype(jnp.float32), x, a_t)
