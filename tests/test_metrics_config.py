@@ -112,10 +112,37 @@ class TestNerfstudioExport:
         export_to_nerfstudio(scene, str(out), input_spa_labels=["00"])
         tfs = json.loads((out / "transforms.json").read_text())
         assert len(tfs["frames"]) == 4
-        assert all("file_path" in f for f in tfs["frames"])
+        # matting ran over the generated images and transforms point at the
+        # RGBA composites (diffuman4d_to_nerfstudio.py:25,42-51 parity)
+        for f in tfs["frames"]:
+            assert f["file_path"].startswith("images_alpha/")
+            assert f["file_path"].endswith(".png")
+            assert (out / f["file_path"]).is_file()
+            from PIL import Image
+
+            assert Image.open(out / f["file_path"]).mode == "RGBA"
+        assert (out / "fmasks" / "00" / "000000.png").is_file()
+        manifest = json.loads((out / "export_manifest.json").read_text())
+        assert "images_alpha" in manifest["alpha_matting"]
         tfs_in = json.loads((out / "transforms_input.json").read_text())
         assert len(tfs_in["frames"]) == 2
         assert all(f["camera_label"] == "00" for f in tfs_in["frames"])
+
+    def test_export_matting_disabled(self, tmp_path):
+        from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+        from diffuman4d_tpu.io.nerfstudio import export_to_nerfstudio
+        from diffuman4d_tpu.data.images import to_pil
+
+        scene = make_synthetic_scene(str(tmp_path), "sc", num_cams=4, num_frames=1, image_size=32)
+        out = tmp_path / "results"
+        d = out / "images" / "01"
+        d.mkdir(parents=True)
+        to_pil(np.zeros((32, 32, 3), np.float32)).save(d / "000000.jpg")
+        export_to_nerfstudio(scene, str(out), input_spa_labels=["00"], matting=False)
+        tfs = json.loads((out / "transforms.json").read_text())
+        assert tfs["frames"][0]["file_path"] == "images/01/000000.jpg"
+        manifest = json.loads((out / "export_manifest.json").read_text())
+        assert "disabled" in manifest["alpha_matting"]
 
 
 class TestCheckpointConverter:
