@@ -44,8 +44,15 @@ def make_synthetic_scene(
     num_frames: int = 4,
     image_size: int = 64,
     seed: int = 0,
+    unique_frames: int | None = None,
 ) -> str:
-    """Create the scene tree; returns the scene directory."""
+    """Create the scene tree; returns the scene directory.
+
+    ``unique_frames``: render only this many frames per camera and hardlink
+    the rest cyclically — large-grid workload runs (e.g. the 48x150
+    demo_4d shape) keep real per-frame file IO/decode without hours of
+    1-core rendering. Pipeline behavior is content-independent, so the
+    schedule, caches, and transfer paths are exercised identically."""
     rng = np.random.default_rng(seed)
     scene_dir = osp.join(data_dir, scene_label)
     h = w = image_size
@@ -78,8 +85,19 @@ def make_synthetic_scene(
         pose = _ring_camera(i, num_cams)
         K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
         w2c = np.linalg.inv(pose)
+        n_render = min(unique_frames or num_frames, num_frames)
         for t in range(num_frames):
             tem = f"{t:06d}"
+            if t >= n_render:
+                # hardlink the cyclically-matching rendered frame
+                src_tem = f"{t % n_render:06d}"
+                for sub, ext in (("images", "webp"), ("fmasks", "png"),
+                                 ("skeletons", "webp")):
+                    d = osp.join(scene_dir, sub, cam)
+                    dst = osp.join(d, f"{tem}.{ext}")
+                    if not osp.exists(dst):
+                        os.link(osp.join(d, f"{src_tem}.{ext}"), dst)
+                continue
             phase = 2 * np.pi * t / max(num_frames, 1) * 0.25
             centers = np.array(
                 [

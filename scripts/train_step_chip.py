@@ -1,0 +1,123 @@
+"""Production-scale training step on the real chip (VERDICT r2 item 5).
+
+One optimizer step of the FULL 0.87B UNet (bf16 compute, fp32 Adam
+state, remat on) at the reference's training shape — window of 12 frames
+at 128^2 latents with skeleton conditioning — measuring compile time,
+per-step wall time, and device HBM. This is the measurement that backs
+the README's training claim; toy-shape tests cover correctness, this
+covers fit + speed.
+
+Usage: python scripts/train_step_chip.py [--frames 12] [--steps 3]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from diffuman4d_tpu.utils.jax_setup import setup
+
+setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hbm_gb():
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats.get("bytes_in_use", 0) / 2**30, 2), round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 2
+        )
+    except Exception:
+        return None, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+    from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+    from diffuman4d_tpu.training.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    L, hw = args.frames, 128
+    unet = UNetMultiviewCondition(UNetConfig(), dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    params = unet.init(
+        key,
+        jnp.zeros((2, hw, hw, 11), jnp.bfloat16),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, hw * 8, hw * 8, 3), jnp.bfloat16),
+        num_frames=2,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"init: {n_params/1e9:.3f}B params, {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    tcfg = TrainConfig(learning_rate=1e-5, remat=True, ema_decay=0.0)
+    state = create_train_state(params, tcfg)
+    step = jax.jit(make_train_step(unet, Scheduler(SchedulerConfig()), tcfg),
+                   donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    B = 1
+    batch = {
+        "latents_x0": jnp.asarray(
+            rng.normal(size=(B, L, hw, hw, 4)) * 0.2, jnp.bfloat16
+        ),
+        "plucker": jnp.asarray(
+            rng.uniform(-1, 1, (B, L, hw, hw, 6)), jnp.bfloat16
+        ),
+        "skeletons": jnp.asarray(
+            rng.uniform(-1, 1, (B, L, hw * 8, hw * 8, 3)), jnp.bfloat16
+        ),
+        "is_cond": jnp.asarray([[True] * (L // 3) + [False] * (L - L // 3)] * B),
+    }
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss0 = float(metrics["loss"])  # blocks
+    compile_s = time.perf_counter() - t0
+    used0, peak0 = hbm_gb()
+    print(f"compile+first step: {compile_s:.1f}s, loss {loss0:.4f}, "
+          f"hbm used/peak {used0}/{peak0} GB", flush=True)
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+        loss = float(metrics["loss"])  # forces completion
+        times.append(time.perf_counter() - t0)
+    used, peak = hbm_gb()
+    step_s = min(times)
+
+    # FLOP estimate: ~3x forward cost; forward approx 2 TFLOP per frame
+    # window step is model-dependent, report raw time + HBM as primary
+    print(json.dumps({
+        "metric": "train_step_sec",
+        "value": round(step_s, 3),
+        "unit": f"sec/step, 0.87B UNet bf16 remat, batch {B}x{L}@128^2 latents",
+        "params_b": round(n_params / 1e9, 3),
+        "loss": loss,
+        "compile_s": round(compile_s, 1),
+        "hbm_used_gb": used,
+        "hbm_peak_gb": peak,
+        "all_steps_s": [round(t, 3) for t in times],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
