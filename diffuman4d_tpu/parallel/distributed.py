@@ -93,6 +93,57 @@ def global_mesh(data: int | None = None, model: int = 1):
     return mesh
 
 
+def local_data_rows(mesh) -> list[int]:
+    """Data-axis rows of ``mesh`` whose model group this process hosts.
+
+    The wave executor assigns task *i* of a wave to data row *i*; each
+    process loads samples and encodes conditions only for its own rows
+    (the multi-host replacement for the reference's per-GPU task queues,
+    sampling_runner.py:26-43)."""
+    pidx = jax.process_index()
+    dev = np.asarray(mesh.devices)
+    dev = dev.reshape(dev.shape[0], -1)  # (data, model...)
+    return [d for d in range(dev.shape[0]) if dev[d, 0].process_index == pidx]
+
+
+def put_sharded(mesh, spec, x):
+    """Commit ``x`` to ``NamedSharding(mesh, spec)``, multi-process-safe.
+
+    Accepts jax.Arrays (returned as-is when already equivalently sharded)
+    or host-global arrays. Under multi-process, a host-global array with a
+    leading ``"data"`` axis in ``spec`` is fed from this process's rows
+    only; replicated specs feed the full array (every process must pass
+    the same value)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    if len(spec) and spec[0] == "data":
+        arr = arr[local_data_rows(mesh)]
+    return jax.make_array_from_process_local_data(sharding, arr)
+
+
+def replicate_to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-process global) array to host numpy,
+    resharding to fully-replicated on device first. fp32 cast happens on
+    device (numpy's ml_dtypes bf16 path crawls — STATUS_r2)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    dt = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    if x.is_fully_addressable and x.sharding.num_devices == 1:
+        return np.asarray(x.astype(dt))
+    rep = NamedSharding(x.sharding.mesh, P())
+    out = jax.jit(lambda a: a.astype(dt), out_shardings=rep)(x)
+    return np.asarray(out.addressable_data(0))
+
+
 def host_local_to_global(mesh, spec, tree):
     """Assemble global arrays from this process's host-local shard.
 

@@ -159,12 +159,38 @@ class Diffuman4DPipeline:
         self._plucker_j = jax.jit(self._plucker_impl)
         self._rejit_sliding()
 
+    def clear_condition_caches(self) -> None:
+        """Drop all device-resident per-frame condition caches (skeletons,
+        conditional latents, pose features). Used by bench.py's cold tier
+        to measure a first-visit task honestly."""
+        self._skel_cache.clear()
+        self._skel_bytes = 0
+        self._pix_cache.clear()
+        self._pix_bytes = 0
+        self._pose_cache.clear()
+        self._pose_bytes = 0
+        self._neg_pose = None
+
     def _rejit_sliding(self) -> None:
         self._sliding_j = jax.jit(
             self._sliding_impl, static_argnames=("domain", "num_denoising_steps")
         )
         self._sliding_batch_j = jax.jit(
             self._sliding_batch_impl, static_argnames=("domain", "num_denoising_steps")
+        )
+        self._mesh_unet_params = None
+
+    def commit_mesh_params(self, mesh) -> None:
+        """Replicate the UNet params over a (possibly multi-process) global
+        mesh for the batched denoise jit. The original single-device params
+        keep serving the per-process condition encode / output decode,
+        which run on local data only."""
+        from jax.sharding import PartitionSpec as P
+
+        from diffuman4d_tpu.parallel.distributed import put_sharded
+
+        self._mesh_unet_params = jax.tree.map(
+            lambda p: put_sharded(mesh, P(), p), self.params["unet"]
         )
 
     def _plain_unet_fwd(self, unet_params, x, t, tem, num_frames,
@@ -623,9 +649,13 @@ class Diffuman4DPipeline:
                               aux_b=None, mesh=None):
         """Batched tasks, optionally sharded over a mesh 'data' axis."""
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            put = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+            from diffuman4d_tpu.parallel.distributed import put_sharded
+
+            # multi-process safe: already-sharded arrays pass through,
+            # host-global arrays are fed from this process's data rows
+            put = lambda x: put_sharded(mesh, P("data"), x)
             cond_b = jax.tree.map(put, cond_b)
             latents_b = put(latents_b)
             t_idx_b = put(t_idx_b)
@@ -642,14 +672,25 @@ class Diffuman4DPipeline:
             aux_b = jax.tree.map(
                 lambda a: a.reshape((B, latents_b.shape[1]) + a.shape[1:]), flat
             )
+            if mesh is not None:
+                # fresh aux is single-device; commit it to the mesh so it
+                # can join the global-array jit (required multi-process)
+                aux_b = jax.tree.map(put, aux_b)
         aux_ret = aux_b
         for i in range(0, windows.shape[0], c):
+            unet_params = (
+                self._mesh_unet_params
+                if mesh is not None and self._mesh_unet_params is not None
+                else self.params["unet"]
+            )
             latents_b, t_b, aux_ret = self._sliding_batch_j(
-                self.params["unet"],
+                unet_params,
                 cond_b,
                 latents_b,
                 t_b,
-                jnp.asarray(windows[i : i + c]),
+                # numpy (not jnp.asarray): a committed single-device array
+                # cannot join a global-mesh jit under multi-process
+                windows[i : i + c],
                 aux_b,
                 domain=domain,
                 num_denoising_steps=self.sliding.num_denoising_steps,

@@ -146,17 +146,25 @@ class SlidingIterativeSampler:
         import os
         import os.path as osp
 
-        os.makedirs(osp.dirname(self._state_path), exist_ok=True)
+        import jax
+
+        from diffuman4d_tpu.parallel.distributed import replicate_to_host
+
         # cast to fp32 ON DEVICE: numpy's ml_dtypes bf16->fp32 runs at
-        # ~MB/s on host, so transferring fp32 (2x bytes, no host cast) wins
-        lat = np.asarray(jnp.asarray(self.grid_latents, jnp.float32))
+        # ~MB/s on host, so transferring fp32 (2x bytes, no host cast) wins.
+        # replicate_to_host also handles multi-process global grids; every
+        # process participates in the reshard, only process 0 writes.
+        lat = replicate_to_host(self.grid_latents).astype(np.float32)
         extra = {}
         if self.grid_aux is not None:
             # dpm++ multistep history must survive resume too
             extra = {
-                f"aux_{k}": np.asarray(jnp.asarray(v, jnp.float32))
+                f"aux_{k}": replicate_to_host(v).astype(np.float32)
                 for k, v in self.grid_aux.items()
             }
+        if jax.process_index() != 0:
+            return
+        os.makedirs(osp.dirname(self._state_path), exist_ok=True)
         np.savez_compressed(
             self._state_path + ".tmp.npz",
             latents=lat,
@@ -213,7 +221,12 @@ class SlidingIterativeSampler:
             )
         if (self.grid_t_idx[inp_rows] != 0).any():
             raise ValueError("grid inconsistent: input-camera cells advanced")
-        if not bool(jnp.isfinite(self.grid_latents.astype(jnp.float32)).all()):
+        import jax
+
+        fin = jax.jit(lambda g: jnp.isfinite(g.astype(jnp.float32)).all())(
+            self.grid_latents
+        )
+        if not bool(np.asarray(fin.addressable_data(0))):
             raise ValueError("grid contains non-finite latents")
 
     # ------------------------------------------------------------------
@@ -253,6 +266,28 @@ class SlidingIterativeSampler:
             cm[: n // 2] = 0.0
             sample.cond_masks = cm
         return sample
+
+    def task_labels(self, task: Task) -> list[tuple[str, str, str]]:
+        """The (scene, spa, tem) row labels load_sample would produce for
+        ``task`` — WITHOUT any file IO. Multi-host wave execution needs
+        every task's grid cells on every process, but only the owning
+        process loads the frames."""
+        from diffuman4d_tpu.data.cameras import nearest_input_camera
+
+        scene = self.dataset.scene_label
+        if task.domain == "spatial":
+            return [(scene, spa, task.domain_label) for spa in self.spa_labels]
+        cameras = self.dataset.cameras[scene]
+        target_pose = cameras[task.domain_label].pose
+        input_poses = [cameras[s].pose for s in self.input_spa_labels]
+        cond_spa = self.input_spa_labels[
+            nearest_input_camera(target_pose, input_poses)
+        ]
+        return [
+            (scene, spa, tem)
+            for spa in (cond_spa, task.domain_label)
+            for tem in self.tem_labels
+        ]
 
     def _windows_for(self, task: Task, n_rows: int) -> np.ndarray:
         cfg = self.pipeline.sliding
@@ -359,6 +394,19 @@ class SlidingIterativeSampler:
                 save_json(crop, osp.join(self.output_dir, "crops", spa, f"{tem}.json"))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _local_wave_rows(arr) -> dict[int, np.ndarray]:
+        """Map wave-row index -> host copy of that row, from this process's
+        addressable shards of a data-sharded wave array (multi-host: a
+        process can only touch the rows it feeds)."""
+        rows: dict[int, np.ndarray] = {}
+        for sh in arr.addressable_shards:
+            r0 = sh.index[0].start or 0
+            data = np.asarray(sh.data)
+            for rr in range(data.shape[0]):
+                rows[r0 + rr] = data[rr]
+        return rows
+
     def _task_key(self, round_idx: int, task_idx: int):
         """Deterministic per-(round, task) key: execution order, wave
         padding, and resume cannot change the noise schedule."""
@@ -367,11 +415,16 @@ class SlidingIterativeSampler:
         base = jax.random.PRNGKey(self.seed + 1)
         return jax.random.fold_in(jax.random.fold_in(base, round_idx), task_idx)
 
-    def _prepare_wave(self, round_idx, tasks, i, n_wave):
+    def _prepare_wave(self, round_idx, tasks, i, n_wave, my_rows=None):
         """Host-side wave prep: sample loading (file IO) + condition encode.
         Returns (padded tasks, samples, conds, cells). Called *between* the
         previous wave's async denoise dispatch and its blocking output save,
-        so this CPU work overlaps device compute (double-buffering)."""
+        so this CPU work overlaps device compute (double-buffering).
+
+        ``my_rows`` (multi-host): the wave slots whose data-mesh rows this
+        process hosts. Other slots get grid cells only (from task_labels,
+        no IO) with ``samples/conds`` left as None — their frames are
+        loaded and encoded by the owning process."""
         from diffuman4d_tpu.utils.tracing import phase
 
         wave = tasks[i : i + n_wave]
@@ -382,6 +435,12 @@ class SlidingIterativeSampler:
             # clamped key => padded duplicates compute bit-identical results,
             # making their grid scatter idempotent
             idx = min(i + j, len(tasks) - 1)
+            if my_rows is not None and j not in my_rows:
+                samples.append(None)
+                conds.append(None)
+                cells.append(self._grid_cells(self.task_labels(task)))
+                prev_idx = None  # reuse must not cross an unloaded slot
+                continue
             if idx == prev_idx:
                 # padded duplicate of the previous task: reuse its sample
                 # and conditions instead of re-reading/re-encoding
@@ -413,38 +472,99 @@ class SlidingIterativeSampler:
         mesh, wave cells are gathered/scattered with device-side advanced
         indexing, and the only device->host transfers are the small int32
         timestep indices plus decoded output images. Host prep for wave N+1
-        runs while wave N denoises (JAX dispatch is async)."""
+        runs while wave N denoises (JAX dispatch is async).
+
+        Multi-host (TPU pod): each process prepares and saves only the
+        tasks whose data-mesh rows it hosts; wave conditions are assembled
+        from per-process local shards (parallel.distributed.put_sharded),
+        grid gather/scatter runs under jit against the global mesh, and
+        the small timestep-index grid is kept host-replicated via an
+        on-device all-gather. Replaces the reference's one-machine
+        multi-GPU runner (sampling_runner.py:26-43)."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from diffuman4d_tpu.parallel.distributed import (
+            host_local_to_global,
+            local_data_rows,
+            put_sharded,
+        )
+
         n_wave = mesh.shape["data"]
+        multi = jax.process_count() > 1
+        my_rows = set(local_data_rows(mesh)) if multi else None
+        if multi:
+            # the denoise jit mixes params with global arrays; params must
+            # live on the global mesh (single-process jits auto-replicate)
+            self.pipeline.commit_mesh_params(mesh)
         rep = NamedSharding(mesh, P())
-        self.grid_latents = jax.device_put(self.grid_latents, rep)
+        shard_d = NamedSharding(mesh, P("data"))
+        self.grid_latents = put_sharded(mesh, P(), self.grid_latents)
         if self.grid_aux is not None:
             self.grid_aux = jax.tree.map(
-                lambda g: jax.device_put(g, rep), self.grid_aux
+                lambda g: put_sharded(mesh, P(), g), self.grid_aux
             )
+        gather_j = jax.jit(lambda g, s, t: jax.tree.map(lambda a: a[s, t], g),
+                           out_shardings=shard_d)
+        scatter_j = jax.jit(
+            lambda g, s, t, v: jax.tree.map(
+                lambda a, u: a.at[s, t].set(u.astype(a.dtype)), g, v
+            ),
+            out_shardings=rep, donate_argnums=0,
+        )
+        allrep_j = jax.jit(lambda x: x, out_shardings=rep)
+        if multi:
+            # Establish the collective communicator cliques NOW, while all
+            # processes are still in lockstep. Later programs compile for
+            # minutes and processes drift apart; a communicator context
+            # initialized under that skew can exceed the backend's fixed
+            # ~30 s rendezvous window (observed with CPU gloo). Warming the
+            # data->replicated all-gather cliques (the only collectives the
+            # wave loop uses) on a tiny array makes every later collective
+            # reuse an existing context.
+            warm = put_sharded(
+                mesh, P("data"), np.zeros((n_wave, 1), np.float32)
+            )
+            np.asarray(allrep_j(warm).addressable_data(0))
+
+        def _stack_conds(conds):
+            if not multi:
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *conds)
+            # host bounce: local conds -> numpy -> global data-sharded,
+            # feeding ONLY this process's rows (host_local_to_global; a
+            # zero-copy device path exists via
+            # make_array_from_single_device_arrays — the bounce is small
+            # next to denoise time and keeps the code uniform).
+            local = [conds[j] for j in sorted(my_rows)]
+            stacked = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *local
+            )
+            return host_local_to_global(mesh, P("data"), stacked)
 
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
                 continue
             wave_starts = list(range(0, len(tasks), n_wave))
-            prep = self._prepare_wave(round_idx, tasks, wave_starts[0], n_wave)
+            prep = self._prepare_wave(
+                round_idx, tasks, wave_starts[0], n_wave, my_rows
+            )
             for w_num, i in enumerate(wave_starts):
                 padded, samples, conds, cells = prep
                 n_real = min(n_wave, len(tasks) - i)
 
-                cond_b = jax.tree.map(lambda *xs: jnp.stack(xs), *conds)
-                spa_b = jnp.asarray(np.stack([s for s, _ in cells]))
-                tem_b = jnp.asarray(np.stack([t for _, t in cells]))
-                lat_b = self.grid_latents[spa_b, tem_b]  # device gather
+                cond_b = _stack_conds(conds)
+                spa_b = np.stack([s for s, _ in cells])
+                tem_b = np.stack([t for _, t in cells])
+                lat_b = gather_j(self.grid_latents, spa_b, tem_b)
                 ti_b = np.stack(
                     [self.grid_t_idx[s, t] for s, t in cells]
                 )
-                windows = self._windows_for(padded[0], len(samples[0].labels))
+                windows = self._windows_for(padded[0], cells[0][0].shape[0])
 
                 # schedule invariants per task (pipeline_diffuman4d.py:480-487)
                 for k in range(n_real):
+                    if samples[k] is None:
+                        continue  # owned (and checked) by another process
                     ic = np.asarray(samples[k].cond_masks == 0.0)
                     tgt = ti_b[k][~ic]
                     if (tgt != tgt[0]).any() or (ti_b[k][ic] != 0).any():
@@ -454,9 +574,7 @@ class SlidingIterativeSampler:
 
                 aux_in = None
                 if self.grid_aux is not None:
-                    aux_in = jax.tree.map(
-                        lambda g: g[spa_b, tem_b], self.grid_aux
-                    )
+                    aux_in = gather_j(self.grid_aux, spa_b, tem_b)
                 # async dispatch — host continues while devices denoise
                 lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
                     cond_b, lat_b, ti_b, windows, padded[0].domain,
@@ -464,32 +582,41 @@ class SlidingIterativeSampler:
                 )
                 # device-side scatter (duplicate padded cells write identical
                 # values, so the scatter is well-defined)
-                self.grid_latents = self.grid_latents.at[spa_b, tem_b].set(lat_b)
+                self.grid_latents = scatter_j(
+                    self.grid_latents, spa_b, tem_b, lat_b
+                )
                 if self.grid_aux is not None:
-                    self.grid_aux = jax.tree.map(
-                        lambda g, u: g.at[spa_b, tem_b].set(u),
-                        self.grid_aux, aux_b,
+                    self.grid_aux = scatter_j(
+                        self.grid_aux, spa_b, tem_b, aux_b
                     )
 
                 # overlap: prep the NEXT wave's host work before blocking on
                 # this wave's results
                 if w_num + 1 < len(wave_starts):
                     prep = self._prepare_wave(
-                        round_idx, tasks, wave_starts[w_num + 1], n_wave
+                        round_idx, tasks, wave_starts[w_num + 1], n_wave, my_rows
                     )
 
                 from diffuman4d_tpu.utils.tracing import phase
 
                 t_wave = time.perf_counter()
                 with phase("wave/denoise_block", sync=False):
-                    # blocks until the wave's denoise has finished
-                    ti_host = np.asarray(jax.device_get(ti_b_new))
+                    # blocks until the wave's denoise has finished; the
+                    # device all-gather keeps grid_t_idx host-replicated
+                    ti_host = np.asarray(
+                        allrep_j(ti_b_new).addressable_data(0)
+                    )
+                lat_local = self._local_wave_rows(lat_b) if multi else None
                 for k in range(n_real):
                     s_idx, t_idx_cells = cells[k]
                     self.grid_t_idx[s_idx, t_idx_cells] = ti_host[k]
+                    if samples[k] is None:
+                        continue  # saved by the owning process
                     with phase("wave/save_outputs", sync=False):
                         self._save_task_outputs(
-                            padded[k], samples[k], lat_b[k], ti_host[k]
+                            padded[k], samples[k],
+                            lat_b[k] if lat_local is None else lat_local[k],
+                            ti_host[k],
                         )
                 log.info(
                     "round %d/%d (%s): tasks %d-%d/%d done (wave sync+save "
