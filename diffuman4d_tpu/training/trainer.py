@@ -152,14 +152,17 @@ def diffusion_loss(
     skel = batch["skeletons"].astype(dtype)
     skel = skel.reshape((B * L,) + skel.shape[2:])
 
-    def fwd(p):
-        return unet.apply(
-            p, net_in, t_frames, skeletons=skel, tem_indices=tem, num_frames=L
-        )
+    if cfg.remat and not unet.remat:
+        # per-BLOCK remat (unet.py): recompute each block in backward so
+        # peak HBM holds block boundaries only. (The previous whole-forward
+        # jax.checkpoint saved nothing at peak: the recomputation itself
+        # materializes every activation — measured 44.9 GB for the 0.87B
+        # model at batch 12@128^2; per-block fits.)
+        unet = unet.clone(remat=True)
 
-    if cfg.remat:
-        fwd = jax.checkpoint(fwd)
-    pred = fwd(params).astype(jnp.float32)
+    pred = unet.apply(
+        params, net_in, t_frames, skeletons=skel, tem_indices=tem, num_frames=L
+    ).astype(jnp.float32)
 
     if cfg.prediction_type == "epsilon":
         target = eps_flat

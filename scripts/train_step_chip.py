@@ -52,7 +52,12 @@ def main():
     )
 
     L, hw = args.frames, 128
-    unet = UNetMultiviewCondition(UNetConfig(), dtype=jnp.bfloat16)
+    # "bundled": jax's Pallas flash attention ships differentiable backward
+    # kernels; the local v1-v4 kernels are inference-only (no VJP yet) and
+    # the plain XLA path materializes 343 GB of scores at the 3D shapes
+    unet = UNetMultiviewCondition(
+        UNetConfig(), dtype=jnp.bfloat16, attn_implementation="bundled"
+    )
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
