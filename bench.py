@@ -201,10 +201,20 @@ def main() -> None:
     input_labels = [1, 13, 25, 37]
     out_dir = "/tmp/d4d_bench_out"
 
-    def run_once(tag: str) -> float:
+    def run_once(tag: str, cold: bool) -> float:
+        """One full demo_3d task. ``cold=True`` measures a first-visit
+        task honestly: the dataset's fp16 frame cache and the pipeline's
+        device-resident condition caches are dropped first, and timing
+        starts BEFORE load_sample (host IO/decode/crop included) —
+        apples-to-apples with the A100 estimate, which includes
+        dataloading (BASELINE.md). Compiled programs stay warm in both
+        tiers (the A100 estimate excludes torch warmup too)."""
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
+        if cold:
+            dataset.clear_frame_cache()
+            pipeline.clear_condition_caches()
         sampler = SlidingIterativeSampler(
             dataset,
             pipeline,
@@ -214,10 +224,10 @@ def main() -> None:
             input_spa_labels=input_labels,
         )
         task = sampler.all_tasks[0][0]
-        sample = sampler.load_sample(task)
-        spa, tem = sampler._grid_cells(sample.labels)
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
+        sample = sampler.load_sample(task)
+        spa, tem = sampler._grid_cells(sample.labels)
         cond = pipeline.prepare_conditions(sample, key)
         latents = sampler.grid_latents[spa, tem]
         t_idx = sampler.grid_t_idx[spa, tem]
@@ -230,18 +240,26 @@ def main() -> None:
         jax.block_until_ready(images)
         return time.perf_counter() - t0
 
-    run_once("warmup")  # compile
-    elapsed = run_once("timed")
+    run_once("warmup", cold=False)  # compile
+    cold_s = run_once("cold", cold=True)
+    warm_s = run_once("warm", cold=False)
 
     num_targets = num_cams - len(input_labels)
-    value = num_targets / elapsed
+    cold_v = num_targets / cold_s
+    warm_v = num_targets / warm_s
     print(
         json.dumps(
             {
                 "metric": "cam_frames_per_sec_per_chip",
-                "value": round(value, 4),
-                "unit": "generated 1024x1024 camera-frames/sec/chip (demo_3d workload, 12 steps/target)",
-                "vs_baseline": round(value / BASELINE_CAM_FRAMES_PER_SEC, 3),
+                "value": round(cold_v, 4),
+                "unit": (
+                    "generated 1024x1024 camera-frames/sec/chip, COLD caches incl. "
+                    "host IO (demo_3d workload, 12 steps/target) | warm "
+                    f"{warm_v:.4f} cf/s (vs_baseline {warm_v / BASELINE_CAM_FRAMES_PER_SEC:.3f})"
+                ),
+                "vs_baseline": round(cold_v / BASELINE_CAM_FRAMES_PER_SEC, 3),
+                "cold": round(cold_v, 4),
+                "warm": round(warm_v, 4),
             }
         )
     )

@@ -113,6 +113,11 @@ class SpaTemDataset:
             )
         }
 
+    def clear_frame_cache(self) -> None:
+        """Drop the fp16 processed-frame cache (bench.py cold tier)."""
+        self._frame_cache.clear()
+        self._frame_cache_bytes = 0
+
     # ------------------------------------------------------------------
     def get_file_path(self, pat: str, scene: str, spa: str, tem: str) -> str:
         return pat.format(

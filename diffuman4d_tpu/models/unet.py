@@ -133,7 +133,10 @@ class UNetMultiviewCondition(nn.Module):
                     raise ValueError(
                         "enable_pose_encoder requires skeletons or pose_features"
                     )
-                pose_features = PoseEncoder(ch0, dtype=self.dtype, name="pose_encoder")(
+                # full-res (8H, 8W) activations: remat in training or its
+                # 1024^2 feature maps dominate the backward's live set
+                PE = nn.remat(PoseEncoder) if self.remat else PoseEncoder
+                pose_features = PE(ch0, dtype=self.dtype, name="pose_encoder")(
                     skeletons
                 )
             x = x + pose_features

@@ -60,8 +60,13 @@ class SlidingIterativeSampler:
         save_crop_params: bool = False,
         resume: bool = True,
         checkpoint_rounds: bool = True,
+        checkpoint_every_tasks: int = 24,
     ):
         self.checkpoint_rounds = checkpoint_rounds
+        # intra-round checkpoint cadence (0 = rounds only). Task-count
+        # based, NOT time-based: every process must take the same branch
+        # or the multi-host replicate_to_host collective deadlocks.
+        self.checkpoint_every_tasks = checkpoint_every_tasks
         self.save_crop_params = save_crop_params
         self.dataset = dataset
         self.pipeline = pipeline
@@ -128,6 +133,7 @@ class SlidingIterativeSampler:
 
         self.all_tasks = self.prepare_tasks()
         self._completed_rounds = 0
+        self._resume_tasks_done = 0
         if resume and self._try_resume():
             pass
 
@@ -142,7 +148,14 @@ class SlidingIterativeSampler:
 
         return osp.join(self.output_dir, "state", "grid_state.npz")
 
-    def save_state(self) -> None:
+    def save_state(self, tasks_done: int = 0) -> None:
+        """Persist the grid. ``tasks_done`` > 0 marks an intra-round
+        checkpoint: that many tasks of round ``_completed_rounds`` (0-based
+        next round) are already scattered into the grid, so resume skips
+        them. Tasks within a round touch disjoint grid cells and use
+        per-(round, task-index) deterministic keys, so a prefix count fully
+        identifies the state (the reference loses everything on a kill —
+        its grid lives only in RAM, sliding_iterative_sampler.py:181-185)."""
         import os
         import os.path as osp
 
@@ -165,11 +178,14 @@ class SlidingIterativeSampler:
         if jax.process_index() != 0:
             return
         os.makedirs(osp.dirname(self._state_path), exist_ok=True)
-        np.savez_compressed(
+        # uncompressed: denoising latents are ~incompressible noise, and
+        # deflate on this 1-core host costs minutes per GB for ~0% gain
+        np.savez(
             self._state_path + ".tmp.npz",
             latents=lat,
             t_idx=self.grid_t_idx,
             completed_rounds=self._completed_rounds,
+            tasks_done_in_round=tasks_done,
             seed=self.seed,
             **extra,
         )
@@ -201,7 +217,15 @@ class SlidingIterativeSampler:
         self.grid_latents = jnp.asarray(data["latents"], self.grid_latents.dtype)
         self.grid_t_idx = data["t_idx"].astype(np.int32)
         self._completed_rounds = int(data["completed_rounds"])
-        print(f"[sampler] resumed after round {self._completed_rounds}")
+        self._resume_tasks_done = (
+            int(data["tasks_done_in_round"])
+            if "tasks_done_in_round" in data.files else 0
+        )
+        print(
+            f"[sampler] resumed after round {self._completed_rounds}"
+            + (f" + {self._resume_tasks_done} tasks"
+               if self._resume_tasks_done else "")
+        )
         return True
 
     def validate_grid(self, after_rounds: int) -> None:
@@ -544,10 +568,17 @@ class SlidingIterativeSampler:
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
                 continue
-            wave_starts = list(range(0, len(tasks), n_wave))
-            prep = self._prepare_wave(
-                round_idx, tasks, wave_starts[0], n_wave, my_rows
-            )
+            # intra-round resume: the first `_resume_tasks_done` tasks of
+            # this round are already in the restored grid (disjoint cells,
+            # deterministic per-(round, task) keys — a prefix count is a
+            # complete description). Consumed once.
+            start = self._resume_tasks_done
+            self._resume_tasks_done = 0
+            wave_starts = list(range(start, len(tasks), n_wave))
+            if wave_starts:
+                prep = self._prepare_wave(
+                    round_idx, tasks, wave_starts[0], n_wave, my_rows
+                )
             for w_num, i in enumerate(wave_starts):
                 padded, samples, conds, cells = prep
                 n_real = min(n_wave, len(tasks) - i)
@@ -625,6 +656,19 @@ class SlidingIterativeSampler:
                     i + 1, i + n_real, len(tasks),
                     time.perf_counter() - t_wave,
                 )
+                # intra-round checkpoint every ~checkpoint_every_tasks
+                # tasks (wave-count cadence: deterministic across hosts)
+                done = i + n_real
+                if (
+                    self.checkpoint_rounds
+                    and self.checkpoint_every_tasks > 0
+                    and done < len(tasks)
+                    and (w_num + 1)
+                    % max(1, -(-self.checkpoint_every_tasks // n_wave))
+                    == 0
+                ):
+                    with phase("wave/save_state", sync=False):
+                        self.save_state(tasks_done=done)
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
@@ -638,8 +682,20 @@ class SlidingIterativeSampler:
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
                 continue
+            start = self._resume_tasks_done
+            self._resume_tasks_done = 0
             for task_idx, task in enumerate(tasks):
+                if task_idx < start:
+                    continue
                 self.execute_one_task(task, self._task_key(round_idx, task_idx))
+                done = task_idx + 1
+                if (
+                    self.checkpoint_rounds
+                    and self.checkpoint_every_tasks > 0
+                    and done < len(tasks)
+                    and done % self.checkpoint_every_tasks == 0
+                ):
+                    self.save_state(tasks_done=done)
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:

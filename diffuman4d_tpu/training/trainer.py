@@ -40,6 +40,10 @@ class TrainConfig:
     grad_clip: float = 1.0
     prediction_type: str = "epsilon"  # epsilon | v_prediction
     remat: bool = True  # rematerialize the UNet to trade FLOPs for HBM
+    # adamw | adafactor — adafactor's factored state fits the 0.87B model
+    # on ONE 16 GB chip (Adam's fp32 p+g+m+v alone is 13.9 GB); adamw is
+    # the default for pods where dp shards the optimizer state
+    optimizer: str = "adamw"
     # LR schedule: constant | cosine (linear warmup in both cases)
     lr_schedule: str = "constant"
     warmup_steps: int = 0
@@ -82,13 +86,23 @@ def make_lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(
             make_lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
             weight_decay=cfg.weight_decay,
-        ),
-    )
+        )
+    elif cfg.optimizer == "adafactor":
+        # factored second moment: optimizer state ~ O(rows+cols) instead of
+        # 2x fp32 per param. Adam's full state for the 0.87B UNet is
+        # 13.9 GB (fp32 p+g+m+v) — more than one v5e's 15.75 GB HBM before
+        # activations; Adafactor is the standard TPU answer on one chip
+        # (multi-chip dp shards Adam state instead).
+        opt = optax.adafactor(
+            make_lr_schedule(cfg), weight_decay_rate=cfg.weight_decay or None
+        )
+    else:
+        raise ValueError(cfg.optimizer)
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
 
 
 def create_train_state(params, cfg: TrainConfig) -> TrainState:

@@ -31,14 +31,20 @@ def sync(x):
     return float(jnp.asarray(x).astype(jnp.float32).sum())
 
 
-def time_mod(name, mod, shape, flops, iters=3):
+def time_mod(name, mod, shape, flops, iters=10):
+    """The axon relay costs ~35 ms per host->device->host round trip, so a
+    per-call sync would swamp sub-50ms ops. Dispatch ``iters`` async calls
+    (the device executes its queue in order) and sync ONCE at the end —
+    residual overhead is one round trip / iters."""
     x = jnp.zeros(shape, jnp.bfloat16)
     params = mod.init(jax.random.PRNGKey(0), x)
     fwd = jax.jit(lambda p, v: mod.apply(p, v))
     sync(fwd(params, x))  # compile
     t0 = time.perf_counter()
+    y = None
     for _ in range(iters):
-        sync(fwd(params, x))
+        y = fwd(params, x)
+    sync(y)
     dt = (time.perf_counter() - t0) / iters
     tf = flops / dt / 1e12
     print(f"{name:34s} {dt * 1e3:8.1f} ms  {tf:6.1f} TF/s", flush=True)

@@ -41,6 +41,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--steps", type=int, default=3)
+    # adafactor: Adam's fp32 p+g+m+v is 13.9 GB for 0.87B params — more
+    # than one v5e's HBM before activations; pods shard Adam over dp
+    ap.add_argument("--optimizer", default="adafactor")
     args = ap.parse_args()
 
     from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
@@ -72,7 +75,8 @@ def main():
     print(f"init: {n_params/1e9:.3f}B params, {time.perf_counter()-t0:.1f}s",
           flush=True)
 
-    tcfg = TrainConfig(learning_rate=1e-5, remat=True, ema_decay=0.0)
+    tcfg = TrainConfig(learning_rate=1e-5, remat=True, ema_decay=0.0,
+                       optimizer=args.optimizer)
     state = create_train_state(params, tcfg)
     step = jax.jit(make_train_step(unet, Scheduler(SchedulerConfig()), tcfg),
                    donate_argnums=0)
@@ -114,7 +118,7 @@ def main():
     print(json.dumps({
         "metric": "train_step_sec",
         "value": round(step_s, 3),
-        "unit": f"sec/step, 0.87B UNet bf16 remat, batch {B}x{L}@128^2 latents",
+        "unit": f"sec/step, 0.87B UNet bf16 remat, {args.optimizer}, batch {B}x{L}@128^2 latents",
         "params_b": round(n_params / 1e9, 3),
         "loss": loss,
         "compile_s": round(compile_s, 1),

@@ -214,6 +214,65 @@ class TestTraining:
 
 
 class TestTrainerExtras:
+    def test_adafactor_steps_and_shrinks_state(self):
+        """Adafactor (single-chip fit for the 0.87B UNet: Adam's fp32
+        p+g+m+v alone exceeds one v5e's HBM) must step, produce finite
+        loss, and carry a factored second moment that is materially
+        smaller than Adam's."""
+        import jax
+        import jax.numpy as jnp
+
+        from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
+        from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
+        from diffuman4d_tpu.training.trainer import (
+            TrainConfig, create_train_state, make_train_step,
+        )
+
+        cfg = UNetConfig(
+            in_channels=11, block_out_channels=(8, 16),
+            num_attention_heads=(1, 2), layers_per_block=1,
+            norm_num_groups=4, num_3d_attn_blocks=1,
+        )
+        unet = UNetMultiviewCondition(cfg, dtype=jnp.float32,
+                                      attn_implementation="xla")
+        params = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 11)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 64, 64, 3)),
+            num_frames=2,
+        )
+
+        def opt_bytes(state):
+            return sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree.leaves(state.opt_state)
+            )
+
+        batch = {
+            "latents_x0": jnp.ones((1, 4, 8, 8, 4)) * 0.1,
+            "plucker": jnp.zeros((1, 4, 8, 8, 6)),
+            "skeletons": jnp.zeros((1, 4, 64, 64, 3)),
+            "is_cond": jnp.asarray([[True, True, False, False]]),
+        }
+        losses = {}
+        sizes = {}
+        for name in ("adamw", "adafactor"):
+            tcfg = TrainConfig(learning_rate=1e-3, remat=False,
+                               ema_decay=0.0, optimizer=name)
+            state = create_train_state(params, tcfg)
+            sizes[name] = opt_bytes(state)
+            step = jax.jit(make_train_step(
+                unet, Scheduler(SchedulerConfig()), tcfg))
+            for i in range(2):
+                state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses[name] = float(metrics["loss"])
+            assert np.isfinite(losses[name]), name
+            assert int(metrics["step"]) == 2
+        # adam keeps TWO full fp32 copies (m+v); adafactor at most one
+        # (v, unfactored) — this toy model's dims are all below optax's
+        # min_dim_size_to_factor=128, so the O(rows+cols) factoring that
+        # shrinks the real 0.87B model's state doesn't kick in here
+        assert sizes["adafactor"] <= 0.55 * sizes["adamw"], sizes
+
     def test_ema_schedule_and_state_resume(self, tmp_path):
         """EMA tracking, warmup-cosine schedule, and full train-state
         checkpoint/restore (params + optimizer moments + step + EMA)."""

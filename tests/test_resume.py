@@ -128,3 +128,49 @@ def test_dpm_resume_preserves_history(setup, tmp_path):
     assert s2._completed_rounds == 1
     np.testing.assert_allclose(np.asarray(s2.grid_aux["prev_x0"]), prev, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(s2.grid_aux["has_prev"]), has)
+
+
+def test_intra_round_resume(setup, tmp_path):
+    """Wave-granular checkpointing: kill mid-round, resume skips exactly
+    the tasks already scattered into the grid — bit-identical to an
+    uninterrupted run (disjoint cells + per-(round, task) keys)."""
+    dataset, pipeline = setup
+
+    ref = _make_sampler(dataset, pipeline, tmp_path / "full_ir")
+    ref.execute_tasks()
+
+    # partial: 1 of round 1's 2 tasks, then "crash" mid-round
+    out = tmp_path / "run_ir"
+    part = _make_sampler(dataset, pipeline, out)
+    round0 = part.all_tasks[0]
+    assert len(round0) >= 2
+    part.execute_one_task(round0[0], part._task_key(0, 0))
+    part.save_state(tasks_done=1)
+    del part
+
+    resumed = _make_sampler(dataset, pipeline, out)
+    assert resumed._completed_rounds == 0
+    assert resumed._resume_tasks_done == 1
+    resumed.execute_tasks()
+
+    np.testing.assert_array_equal(ref.grid_t_idx, resumed.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(resumed.grid_latents), atol=1e-5
+    )
+
+    # the parallel wave path honors the same intra-round offset
+    out2 = tmp_path / "run_ir_par"
+    part2 = _make_sampler(dataset, pipeline, out2)
+    part2.execute_one_task(part2.all_tasks[0][0], part2._task_key(0, 0))
+    part2.save_state(tasks_done=1)
+    del part2
+
+    from diffuman4d_tpu.parallel.mesh import make_mesh
+
+    resumed2 = _make_sampler(dataset, pipeline, out2)
+    assert resumed2._resume_tasks_done == 1
+    resumed2.execute_tasks_parallel(make_mesh(data=2, model=1))
+    np.testing.assert_array_equal(ref.grid_t_idx, resumed2.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(resumed2.grid_latents), atol=2e-5
+    )
