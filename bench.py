@@ -24,14 +24,22 @@ BASELINE_CAM_FRAMES_PER_SEC = 0.55  # single-A100 estimate, see BASELINE.md
 
 
 _WATCHDOG = None  # keep a reference so the child isn't GC-reaped
+_PARTIAL_PATH = "/tmp/d4d_bench_partial.json"
+
+
+def save_partial(obj: dict) -> None:
+    """Record the best-so-far result; the watchdog emits it on timeout so a
+    wedged late tier can't zero out tiers that already finished."""
+    with open(_PARTIAL_PATH, "w") as fp:
+        fp.write(json.dumps(obj))
 
 
 def _arm_watchdog(seconds: int = 3000) -> None:
     """If the TPU service is wedged (see STATUS_r1.md), don't hang the
     driver forever. A signal handler can't fire while the main thread is
     stuck inside a GIL-holding PJRT call, so the watchdog is a separate
-    process sharing our stdout: on timeout it emits the parseable failure
-    line itself and SIGKILLs us."""
+    process sharing our stdout: on timeout it emits the best-so-far
+    partial result (or a parseable failure line) and SIGKILLs us."""
     import subprocess
     import sys
 
@@ -53,7 +61,11 @@ def _arm_watchdog(seconds: int = 3000) -> None:
         "    os.kill(pid, 0)\n"
         "except OSError:\n"
         "    sys.exit(0)\n"  # parent finished; do nothing
-        f"print({line!r}, flush=True)\n"
+        "try:\n"
+        f"    line = open({_PARTIAL_PATH!r}).read().strip()\n"
+        "except OSError:\n"
+        f"    line = {line!r}\n"
+        "print(line, flush=True)\n"
         "os.kill(pid, signal.SIGKILL)\n"
     )
     _WATCHDOG = subprocess.Popen([sys.executable, "-c", code])
@@ -125,21 +137,18 @@ def smoke(unet, vae, params) -> None:
     sync(dec(params["vae"], zd))
     dec_s = (time.perf_counter() - t0) / zd.shape[0]
 
-    print(
-        json.dumps(
-            {
-                "metric": "smoke_window_step_sec",
-                "value": round(step_s, 4),
-                "unit": (
-                    "sec/CFG-window-step (spatial, batch 32 @128^2) | "
-                    f"temporal_step {step_t_s:.3f} s (batch 48) | "
-                    f"vae_encode {enc_s:.3f} s/img | vae_decode {dec_s:.3f} s/img @1024^2"
-                ),
-                "vs_baseline": round(1.4 / step_s, 3),  # ~1.4 s/step A100 est
-            }
+    line = {
+        "metric": "smoke_window_step_sec",
+        "value": round(step_s, 4),
+        "unit": (
+            "sec/CFG-window-step (spatial, batch 32 @128^2) | "
+            f"temporal_step {step_t_s:.3f} s (batch 48) | "
+            f"vae_encode {enc_s:.3f} s/img | vae_decode {dec_s:.3f} s/img @1024^2"
         ),
-        flush=True,
-    )
+        "vs_baseline": round(1.4 / step_s, 3),  # ~1.4 s/step A100 est
+    }
+    print(json.dumps(line), flush=True)
+    save_partial(line)
 
 
 def main() -> None:
@@ -149,6 +158,10 @@ def main() -> None:
 
     _jax_setup()
     smoke_only = os.environ.get("BENCH_MODE", "") == "smoke"
+    try:
+        os.remove(_PARTIAL_PATH)
+    except OSError:
+        pass
     _arm_watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "3000")))
 
     os.environ.setdefault("BENCH_SCENE_DIR", "/tmp/d4d_bench_scene")
@@ -225,10 +238,20 @@ def main() -> None:
         )
         task = sampler.all_tasks[0][0]
         key = jax.random.PRNGKey(1)
+        import sys as _sys
+
+        def _mark(what, t):
+            print(f"[bench]   {tag}/{what}: {time.perf_counter() - t:.1f}s",
+                  file=_sys.stderr, flush=True)
+            return time.perf_counter()
+
         t0 = time.perf_counter()
         sample = sampler.load_sample(task)
+        t1 = _mark("load_sample", t0)
         spa, tem = sampler._grid_cells(sample.labels)
         cond = pipeline.prepare_conditions(sample, key)
+        jax.block_until_ready(cond)
+        t1 = _mark("prepare_conditions", t1)
         latents = sampler.grid_latents[spa, tem]
         t_idx = sampler.grid_t_idx[spa, tem]
         windows = sampler._windows_for(task, len(sample.labels))
@@ -236,17 +259,40 @@ def main() -> None:
             cond, latents, t_idx, windows, task.domain
         )
         done = np.asarray(t_idx) == sliding.total_steps
+        t1 = _mark("denoise", t1)
         images = pipeline.decode(latents[jax.numpy.asarray(np.nonzero(done)[0])])
         jax.block_until_ready(images)
+        _mark("decode", t1)
         return time.perf_counter() - t0
 
-    run_once("warmup", cold=False)  # compile
-    cold_s = run_once("cold", cold=True)
-    warm_s = run_once("warm", cold=False)
+    import sys
+
+    def timed(tag, cold):
+        t = time.perf_counter()
+        dt = run_once(tag, cold=cold)
+        print(f"[bench] {tag}: task {dt:.1f}s (incl. setup "
+              f"{time.perf_counter() - t - dt:.1f}s)", file=sys.stderr,
+              flush=True)
+        return dt
 
     num_targets = num_cams - len(input_labels)
-    cold_v = num_targets / cold_s
+    timed("warmup", cold=False)  # compile
+    warm_s = timed("warm", cold=False)
     warm_v = num_targets / warm_s
+    save_partial(
+        {
+            "metric": "cam_frames_per_sec_per_chip",
+            "value": round(warm_v, 4),
+            "unit": (
+                "generated 1024x1024 camera-frames/sec/chip, WARM caches "
+                "(demo_3d workload, 12 steps/target; cold tier did not finish)"
+            ),
+            "vs_baseline": round(warm_v / BASELINE_CAM_FRAMES_PER_SEC, 3),
+            "warm": round(warm_v, 4),
+        }
+    )
+    cold_s = timed("cold", cold=True)
+    cold_v = num_targets / cold_s
     print(
         json.dumps(
             {
