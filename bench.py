@@ -311,5 +311,30 @@ def main() -> None:
     )
 
 
+def _emit_failure(exc: BaseException) -> None:
+    """A crash (e.g. TPU backend UNAVAILABLE at init) must still produce a
+    parseable line: the best-so-far partial if any tier finished, else an
+    explicit failure record."""
+    try:
+        print(open(_PARTIAL_PATH).read().strip(), flush=True)
+    except OSError:
+        print(
+            json.dumps(
+                {
+                    "metric": "cam_frames_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": f"FAILED before any tier: {type(exc).__name__}: "
+                    f"{str(exc).splitlines()[0][:200]}",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — emit, then re-raise
+        _emit_failure(e)
+        raise
