@@ -134,6 +134,10 @@ class SlidingIterativeSampler:
         self.all_tasks = self.prepare_tasks()
         self._completed_rounds = 0
         self._resume_tasks_done = 0
+        # (spa, tem) labels this process wrote final images for — the
+        # multi-process completeness check unions these across processes
+        # (each process saves only its own tasks' outputs)
+        self._saved_cells: set[tuple[str, str]] = set()
         if resume and self._try_resume():
             pass
 
@@ -378,6 +382,7 @@ class SlidingIterativeSampler:
                 [sample.crops[i] for i in rows],
                 self.output_dir,
             )
+            self._saved_cells.update(sample.labels[i][1:3] for i in rows)
         # input rows are written as their (composited) GT pixels — the
         # reference replaces output rows with inputs before saving
         # (sampling_utils.py:96-107); skip_exists makes repeats free
@@ -389,6 +394,7 @@ class SlidingIterativeSampler:
                 [sample.crops[i] for i in inp],
                 self.output_dir,
             )
+            self._saved_cells.update(sample.labels[i][1:3] for i in inp)
         if self.save_debug_grids:
             # grid rows mirror sampling_utils.py:70-93: blended skeletons,
             # inputs, outputs (input rows dimmed), L1 error
@@ -673,7 +679,49 @@ class SlidingIterativeSampler:
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
-        if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
+        if multi:
+            # Each process saved only its own tasks' outputs, and processes
+            # finish their last wave at different times — a lone file count
+            # here races the other processes' writes (and sees nothing on
+            # non-shared filesystems). Union the per-process coverage sets
+            # with an allgather (which doubles as the barrier the reference
+            # gets from joining its worker threads, sampling_runner.py:53-60),
+            # then let process 0 run the file-level check against the — by
+            # then quiescent — shared output dir.
+            from jax.experimental import multihost_utils
+
+            cov = np.zeros(
+                (len(self.spa_labels), len(self.tem_labels)), bool
+            )
+            for s, t in self._saved_cells:
+                cov[self._spa_index[s], self._tem_index[t]] = True
+            # a resumed run saved cells in a previous life: count files
+            # already on disk as covered (they are what the check is about)
+            import os
+            import os.path as osp
+
+            for s, si in self._spa_index.items():
+                d = osp.join(self.output_dir, "images", s)
+                if osp.isdir(d):
+                    for f in os.listdir(d):
+                        ti = self._tem_index.get(f[:-4])
+                        if f.endswith(".jpg") and ti is not None:
+                            cov[si, ti] = True
+            cov_all = np.asarray(multihost_utils.process_allgather(cov))
+            if cov_all.ndim == 2:  # tiled gather fallback
+                cov_all = cov_all[None]
+            if not cov_all.any(axis=0).all():
+                missing = int((~cov_all.any(axis=0)).sum())
+                raise ValueError(
+                    f"Sampling failed: {missing} grid cells saved by no process."
+                )
+            if jax.process_index() == 0 and not check_sampling_results(
+                self.spa_labels, self.tem_labels, self.output_dir
+            ):
+                raise ValueError("Sampling failed: output grid incomplete.")
+        elif not check_sampling_results(
+            self.spa_labels, self.tem_labels, self.output_dir
+        ):
             raise ValueError("Sampling failed: output grid incomplete.")
 
     def execute_tasks(self, key=None) -> None:

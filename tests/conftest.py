@@ -24,3 +24,7 @@ jax.config.update("jax_enable_x64", False)
 from diffuman4d_tpu.utils.jax_setup import setup as _jax_cache_setup  # noqa: E402
 
 _jax_cache_setup()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-minute test (compile-heavy or multi-process)")

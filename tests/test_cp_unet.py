@@ -238,8 +238,11 @@ FULL_TOPO = UNetConfig(
 )
 
 
-@pytest.mark.parametrize("model_par", [2, 4])
-@pytest.mark.parametrize("domain", ["spatial", "temporal"])
+# two of the four (model_par x domain) combinations: both shard widths and
+# both domains are covered; the dropped combinations add no new program
+# structure (domain only changes input data) and each costs minutes of CPU
+# compile on the 1-core test host
+@pytest.mark.parametrize("model_par,domain", [(2, "spatial"), (4, "temporal")])
 def test_cp_full_topology(model_par, domain):
     """4-stage UNet with the production 3D-attention gating under CP: the
     deepest three stages all-gather K/V over frame shards, the outermost
