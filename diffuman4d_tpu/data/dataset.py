@@ -41,6 +41,7 @@ from diffuman4d_tpu.data.cameras import (
 )
 from diffuman4d_tpu.data.crops import mask_crop_aspect_ratio, skeleton_to_mask
 from diffuman4d_tpu.data.images import apply_fmask, crop_resize, norm_vae, to_float
+from diffuman4d_tpu.utils.arrays import fast_stack
 
 
 @dataclass
@@ -92,6 +93,11 @@ class SpaTemDataset:
 
         io_workers = max(1, min(io_workers, _os.cpu_count() or 1))
         self._pool = ThreadPoolExecutor(max_workers=io_workers)
+        # large numpy temporaries dominate load cost when glibc munmaps
+        # them (first-touch faults are ~100x slower than warm pages here)
+        from diffuman4d_tpu.utils.jax_setup import tune_host_allocator
+
+        tune_host_allocator()
         # Processed-frame cache: alternation rounds revisit every frame
         # several times (each spatial AND temporal task re-reads its
         # cameras; sliding_iterative_sampler.py reloads per task), and
@@ -217,6 +223,15 @@ class SpaTemDataset:
         K = transform_intrinsic_for_crop(camera.K, crop, h)
 
         pixel = apply_fmask(image, fmask, "white", vae_normalized=True)
+        # range invariant (spatem_dataset.py:191-228) checked per frame at
+        # load time: cache hits skip the re-scan, and get_item avoids
+        # whole-batch reductions over hundreds of MB (slow on this host)
+        for name, arr in (("pixel_values", pixel), ("skeletons", skeleton)):
+            if arr.min() < -1.0 - 1e-6 or arr.max() > 1.0 + 1e-6:
+                raise ValueError(
+                    f"{name} out of [-1, 1] for {label}: "
+                    f"[{arr.min()}, {arr.max()}]"
+                )
         return {
             "pixel": pixel.astype(np.float32),
             "skeleton": skeleton.astype(np.float32),
@@ -263,8 +278,11 @@ class SpaTemDataset:
             )
         )
 
-        pixel_values = np.stack([f["pixel"] for f in frames])
-        skeletons = np.stack([f["skeleton"] for f in frames])
+        # fast_stack: np.stack's concatenate path is ~10x slower than a
+        # strided memcpy on this host — the image stacks are the dominant
+        # cost of a warm get_item
+        pixel_values = fast_stack([f["pixel"] for f in frames])
+        skeletons = fast_stack([f["skeleton"] for f in frames])
         Ks = np.stack([f["K"] for f in frames])
         poses = np.stack([f["pose"] for f in frames]).astype(np.float32)
 
@@ -311,9 +329,8 @@ def _check_sample(s: Sample) -> None:
         if any(x != tem[0] for x in tem):
             raise ValueError("spatial labels inconsistent")
 
-    lo, hi = -1.0 - 1e-6, 1.0 + 1e-6
-    for name, arr in (("pixel_values", s.pixel_values), ("skeletons", s.skeletons)):
-        if arr.min() < lo or arr.max() > hi:
-            raise ValueError(f"{name} out of [-1, 1]: [{arr.min()}, {arr.max()}]")
+    # pixel/skeleton [-1, 1] ranges are validated per frame at load time
+    # (see _load_frame) — re-scanning the assembled stacks here costs
+    # seconds per task on slow-memory hosts
     if s.cond_masks.min() < 0.0 or s.cond_masks.max() > 1.0:
         raise ValueError("cond masks out of range")

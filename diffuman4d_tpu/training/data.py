@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from diffuman4d_tpu.utils.arrays import fast_stack
+
 from diffuman4d_tpu.data.dataset import SpaTemDataset
 
 
@@ -72,8 +74,8 @@ class WindowBatcher:
         """-> dict of stacked numpy arrays for ``encode_training_batch``."""
         samples = [self.sample_window(rng, domain) for _ in range(batch_size)]
         return {
-            "pixel_values": np.stack([s.pixel_values for s in samples]),
-            "skeletons": np.stack([s.skeletons for s in samples]),
+            "pixel_values": fast_stack([s.pixel_values for s in samples]),
+            "skeletons": fast_stack([s.skeletons for s in samples]),
             "is_cond": np.stack([s.cond_masks == 0.0 for s in samples]),
             "Ks": np.stack([s.Ks for s in samples]),
             "poses": np.stack([s.poses for s in samples]),
