@@ -202,14 +202,35 @@ class SpaTemDataset:
                 a if a.ndim == 3 and a.shape[-1] == 3
                 else np.repeat(a.reshape(a.shape[0], a.shape[1], 1)[..., :1], 3, -1)
             )
-            image = norm_vae(to_float(native.crop_resize(to_rgb(image_raw), crop, h, w)))
-            skeleton = norm_vae(
-                to_float(native.crop_resize(to_rgb(skeleton_raw), crop, h, w))
-            )
+            image_u8 = native.crop_resize(to_rgb(image_raw), crop, h, w)
+            skeleton_u8 = native.crop_resize(to_rgb(skeleton_raw), crop, h, w)
             fmask_u8 = (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
-            fmask = norm_vae(
-                to_float(native.crop_resize(fmask_u8[..., None], crop, h, w))
-            )
+            fm_u8 = native.crop_resize(fmask_u8[..., None], crop, h, w)
+            if native.has_vae_fused():
+                # u8 -> fp32 vae norm + white compositing in one native
+                # pass (bit-parity with the numpy chain below, which costs
+                # ~250 MB of temporaries per frame vs ~16 MB here)
+                pixel = native.composite_white_vae(image_u8, fm_u8)
+                skeleton = native.u8_to_vae(skeleton_u8)
+                K = transform_intrinsic_for_crop(camera.K, crop, h)
+                for name, arr in (("pixel_values", pixel),
+                                  ("skeletons", skeleton)):
+                    if arr.min() < -1.0 - 1e-6 or arr.max() > 1.0 + 1e-6:
+                        raise ValueError(
+                            f"{name} out of [-1, 1] for {label}: "
+                            f"[{arr.min()}, {arr.max()}]"
+                        )
+                return {
+                    "pixel": pixel,
+                    "skeleton": skeleton,
+                    "K": K,
+                    "pose": camera.pose,
+                    "hw": (camera.height, camera.width),
+                    "crop": crop,
+                }
+            image = norm_vae(to_float(image_u8))
+            skeleton = norm_vae(to_float(skeleton_u8))
+            fmask = norm_vae(to_float(fm_u8))
         else:
             image_img = Image.fromarray(image_raw) if isinstance(image_raw, np.ndarray) else image_raw
             skeleton_img = Image.fromarray(skeleton_raw) if isinstance(skeleton_raw, np.ndarray) else skeleton_raw

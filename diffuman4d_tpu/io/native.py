@@ -73,6 +73,23 @@ def _find_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.d4dio_encode_jpeg.restype = ctypes.c_int
+            # fused u8 -> vae-normalized fp32 (may be absent in an older
+            # prebuilt library; gate on presence)
+            try:
+                lib.d4dio_u8_to_vae.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.d4dio_u8_to_vae.restype = ctypes.c_int
+                lib.d4dio_composite_white_vae.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.d4dio_composite_white_vae.restype = ctypes.c_int
+                lib._has_vae_fused = True
+            except AttributeError:
+                lib._has_vae_fused = False
             _LIB = lib
             break
     return _LIB
@@ -154,6 +171,51 @@ def load_batch(
     )
     if rc != 0:
         raise IOError("d4dio: batch load had failures")
+    return out
+
+
+def has_vae_fused() -> bool:
+    lib = _find_lib()
+    return lib is not None and getattr(lib, "_has_vae_fused", False)
+
+
+def u8_to_vae(img: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, C) -> float32 in [-1, 1]; bit-parity with
+    norm_vae(to_float(img))."""
+    lib = _find_lib()
+    img = np.ascontiguousarray(img)
+    out = np.empty(img.shape, np.float32)
+    rc = lib.d4dio_u8_to_vae(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(img.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise IOError("d4dio: u8_to_vae failed")
+    return out
+
+
+def composite_white_vae(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """uint8 image (H, W, 3) + uint8 mask (H, W, 1|none) -> white-composited
+    float32 in VAE [-1, 1] space; bit-parity with
+    apply_fmask(norm_vae(to_float(img)), norm_vae(to_float(mask)), "white",
+    vae_normalized=True)."""
+    lib = _find_lib()
+    img = np.ascontiguousarray(img)
+    mask = np.ascontiguousarray(mask)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8 image, got {img.shape}")
+    if mask.size != img.shape[0] * img.shape[1]:
+        raise ValueError(f"mask size {mask.shape} != image hw {img.shape[:2]}")
+    out = np.empty(img.shape, np.float32)
+    rc = lib.d4dio_composite_white_vae(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(img.shape[0] * img.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise IOError("d4dio: composite_white_vae failed")
     return out
 
 

@@ -369,4 +369,51 @@ int d4dio_encode_jpeg(const char* path, const uint8_t* data, int h, int w,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// fused uint8 -> VAE-normalized float32 conversions
+//
+// These mirror the Python chain bit-for-bit (images.py to_float/norm_vae/
+// apply_fmask vae-white path, parity with image_utils.py:9-59) but touch
+// ~16 MB per frame instead of ~250 MB of numpy temporaries — on slow-
+// memory hosts the Python chain was ~70% of a cold frame load.
+// ---------------------------------------------------------------------------
+
+// fp-contract off: numpy evaluates each op separately; FMA contraction
+// would round differently and break bit parity with the Python chain
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+
+// out[i] = (in[i] / 255) * 2 - 1   (fp32 ops in this exact order)
+int d4dio_u8_to_vae(const uint8_t* in, long long n, float* out) {
+  for (long long i = 0; i < n; i++) {
+    float v = (float)in[i] / 255.0f;
+    out[i] = v * 2.0f - 1.0f;
+  }
+  return 0;
+}
+
+// White-background compositing in VAE space (image_utils.py:43-54 with
+// white bg + norm roundtrip; images.py apply_fmask fused form, same fp32
+// op order): I = (img/255)*2-1, M = (mask/255)*2-1,
+//            O = ((I-1)*(M+1))*0.5 + 1
+// img: (hw, 3) interleaved RGB; mask: (hw, 1); out: (hw, 3) float32.
+int d4dio_composite_white_vae(const uint8_t* img, const uint8_t* mask,
+                              long long hw, float* out) {
+  for (long long i = 0; i < hw; i++) {
+    float m = (float)mask[i] / 255.0f;
+    m = m * 2.0f - 1.0f;
+    float mp1 = m + 1.0f;
+    for (int ch_i = 0; ch_i < 3; ch_i++) {
+      float v = (float)img[i * 3 + ch_i] / 255.0f;
+      v = v * 2.0f - 1.0f;
+      float t = (v - 1.0f) * mp1;
+      t = t * 0.5f;
+      out[i * 3 + ch_i] = t + 1.0f;
+    }
+  }
+  return 0;
+}
+
+#pragma GCC pop_options
+
 }  // extern "C"
