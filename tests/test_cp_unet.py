@@ -56,6 +56,29 @@ def _inputs(L, hw=8, groups=2, seed=1):
     return x, t, sk, tem
 
 
+# jit wrappers: calling the forwards eagerly dispatch-compiles ~thousands
+# of individual CPU ops per call (measured 367 s for one full-topology CP
+# apply vs one jitted compile); production always runs these inside the
+# pipeline's sliding jit, so jitting here matches real usage AND makes the
+# program hit the persistent compile cache across suite runs
+def _jit_unet(unet):
+    return jax.jit(
+        lambda p, x, t, tem, pf, L: unet.apply(
+            p, x, t, tem_indices=tem, num_frames=L, pose_features=pf
+        ),
+        static_argnums=(5,),
+    )
+
+
+def _jit_cp(cp_fwd):
+    return jax.jit(
+        lambda p, x, t, tem, pf, L: cp_fwd(
+            p, x, t, tem, L, pose_features=pf
+        ),
+        static_argnums=(5,),
+    )
+
+
 @pytest.mark.parametrize("model_par", [2, 4])
 def test_cp_matches_single_device_cfg(tiny_unet, model_par):
     """CFG batch (groups=2): mesh 'model' in {2, 4} must be bit-comparable
@@ -64,7 +87,11 @@ def test_cp_matches_single_device_cfg(tiny_unet, model_par):
     L = 8
     x, t, sk, tem = _inputs(L)
 
-    ref = unet.apply(params, x, t, skeletons=sk, tem_indices=tem, num_frames=L)
+    ref = jax.jit(
+        lambda p, x, t, sk, tem: unet.apply(
+            p, x, t, skeletons=sk, tem_indices=tem, num_frames=L
+        )
+    )(params, x, t, sk, tem)
 
     mesh = make_mesh(data=1, model=model_par)
     cp_fwd = make_cp_unet_apply(unet, mesh)
@@ -74,14 +101,12 @@ def test_cp_matches_single_device_cfg(tiny_unet, model_par):
 
     pe = PoseEncoder(TINY.block_out_channels[0], dtype=jnp.float32)
     pf = pe.apply({"params": params["params"]["pose_encoder"]}, sk)
-    ref_pf = unet.apply(
-        params, x, t, tem_indices=tem, num_frames=L, pose_features=pf
-    )
+    ref_pf = _jit_unet(unet)(params, x, t, tem, pf, L)
     np.testing.assert_allclose(
         np.asarray(ref_pf), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
 
-    out = cp_fwd(params, x, t, tem, L, pose_features=pf)
+    out = _jit_cp(cp_fwd)(params, x, t, tem, pf, L)
     assert out.shape == ref.shape
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
@@ -95,9 +120,9 @@ def test_cp_matches_single_device_no_cfg(tiny_unet):
     x, t, sk, tem = _inputs(L, groups=1)
     pf = jnp.zeros((L, 8, 8, TINY.block_out_channels[0]), jnp.float32)
 
-    ref = unet.apply(params, x, t, tem_indices=tem, num_frames=L, pose_features=pf)
+    ref = _jit_unet(unet)(params, x, t, tem, pf, L)
     mesh = make_mesh(data=1, model=4)
-    out = make_cp_unet_apply(unet, mesh)(params, x, t, tem, L, pose_features=pf)
+    out = _jit_cp(make_cp_unet_apply(unet, mesh))(params, x, t, tem, pf, L)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
@@ -272,10 +297,8 @@ def test_cp_full_topology(model_par, domain):
     pe = PoseEncoder(FULL_TOPO.block_out_channels[0], dtype=jnp.float32)
     pf = pe.apply({"params": params["params"]["pose_encoder"]}, sk)
 
-    ref = unet.apply(
-        params, x, t, tem_indices=tem, num_frames=L, pose_features=pf
-    )
+    ref = _jit_unet(unet)(params, x, t, tem, pf, L)
     mesh = make_mesh(data=1, model=model_par)
-    out = make_cp_unet_apply(unet, mesh)(params, x, t, tem, L, pose_features=pf)
+    out = _jit_cp(make_cp_unet_apply(unet, mesh))(params, x, t, tem, pf, L)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
