@@ -35,6 +35,7 @@ from diffuman4d_tpu.sampling.outputs import (
 )
 from diffuman4d_tpu.sampling.pipeline import Diffuman4DPipeline
 from diffuman4d_tpu.sampling.windows import build_windows
+from diffuman4d_tpu.utils.arrays import fast_stack
 
 
 @dataclass
@@ -425,6 +426,20 @@ class SlidingIterativeSampler:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def _process_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+        """Align all processes on the coordination service (plain gRPC —
+        no per-collective rendezvous window). Used to bound the skew with
+        which processes enter a gloo/collective context creation."""
+        try:
+            from jax._src import distributed as _dist
+
+            client = _dist.global_state.client
+            if client is not None:
+                client.wait_at_barrier(name, timeout_ms)
+        except Exception:
+            log.warning("process barrier %s unavailable; continuing", name)
+
+    @staticmethod
     def _local_wave_rows(arr) -> dict[int, np.ndarray]:
         """Map wave-row index -> host copy of that row, from this process's
         addressable shards of a data-sharded wave array (multi-host: a
@@ -552,10 +567,22 @@ class SlidingIterativeSampler:
             # data->replicated all-gather cliques (the only collectives the
             # wave loop uses) on a tiny array makes every later collective
             # reuse an existing context.
+            # Even reaching THIS point can skew >30 s across processes
+            # (compile-cache racing); align first on a coordination-service
+            # barrier — pure gRPC, no gloo rendezvous window.
+            self._process_barrier("d4d:pre_warmup")
             warm = put_sharded(
                 mesh, P("data"), np.zeros((n_wave, 1), np.float32)
             )
             np.asarray(allrep_j(warm).addressable_data(0))
+            # the end-of-run coverage union uses a different communicator
+            # (process_allgather); establish it here too — after the final
+            # wave, processes are skewed by their unequal output-save work
+            # and a fresh rendezvous can exceed the ~30 s window
+            from jax.experimental import multihost_utils
+
+            cov_shape = (len(self.spa_labels), len(self.tem_labels))
+            multihost_utils.process_allgather(np.zeros(cov_shape, bool))
 
         def _stack_conds(conds):
             if not multi:
@@ -567,7 +594,7 @@ class SlidingIterativeSampler:
             # next to denoise time and keeps the code uniform).
             local = [conds[j] for j in sorted(my_rows)]
             stacked = jax.tree.map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *local
+                lambda *xs: fast_stack([np.asarray(x) for x in xs]), *local
             )
             return host_local_to_global(mesh, P("data"), stacked)
 
@@ -690,6 +717,8 @@ class SlidingIterativeSampler:
             # then quiescent — shared output dir.
             from jax.experimental import multihost_utils
 
+            # bound the save-skew before the gather's collective context
+            self._process_barrier("d4d:pre_coverage_check")
             cov = np.zeros(
                 (len(self.spa_labels), len(self.tem_labels)), bool
             )

@@ -22,6 +22,10 @@ def build(data_dir: str):
     import jax
     import jax.numpy as jnp
 
+    from diffuman4d_tpu.utils.jax_setup import setup
+
+    setup()  # persistent compile cache: worker compiles dominate test time
+
     from diffuman4d_tpu.data.dataset import SpaTemDataset
     from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
     from diffuman4d_tpu.models.vae import AutoencoderKL, VAEConfig
