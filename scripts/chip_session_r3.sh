@@ -15,5 +15,6 @@ timeout 4500 python scripts/demo4d_slice.py --scene /tmp/d4d_4d_scene \
 
 # 3. per-unit window profile (MFU breakdown for STATUS)
 timeout 2400 python scripts/profile_window.py > /tmp/profile_window_r3.log 2>&1 || true
+timeout 2400 python scripts/profile_units.py > /tmp/profile_units_r3.log 2>&1 || true
 
 echo "chip session done: $(date)"
