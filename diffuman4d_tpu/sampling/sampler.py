@@ -342,8 +342,9 @@ class SlidingIterativeSampler:
         )
 
     # ------------------------------------------------------------------
-    def execute_one_task(self, task: Task, key) -> None:
-        sample = self.load_sample(task)
+    def execute_one_task(self, task: Task, key, sample: Sample | None = None) -> None:
+        if sample is None:
+            sample = self.load_sample(task)
         spa, tem = self._grid_cells(sample.labels)
         cond = self.pipeline.prepare_conditions(sample, key)
 
@@ -755,27 +756,53 @@ class SlidingIterativeSampler:
 
     def execute_tasks(self, key=None) -> None:
         """All rounds, sequentially (single-device path;
-        sliding_iterative_sampler.py:206-212)."""
+        sliding_iterative_sampler.py:206-212).
+
+        The next task's sample loads on an IO thread while the current
+        task's denoise runs on the device (dispatch is async; the host
+        spends most of each task blocked on device results) — the
+        single-chip counterpart of the wave executor's prepare overlap.
+        Samples do not depend on grid state, so prefetching across round
+        boundaries is exact."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo: list[tuple[int, int, Task]] = []
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
                 continue
             start = self._resume_tasks_done
             self._resume_tasks_done = 0
-            for task_idx, task in enumerate(tasks):
-                if task_idx < start:
-                    continue
-                self.execute_one_task(task, self._task_key(round_idx, task_idx))
+            todo.extend(
+                (round_idx, task_idx, task)
+                for task_idx, task in enumerate(tasks)
+                if task_idx >= start
+            )
+
+        prefetch = ThreadPoolExecutor(max_workers=1)
+        fut = None
+        try:
+            for j, (round_idx, task_idx, task) in enumerate(todo):
+                sample = fut.result() if fut is not None else None
+                fut = (
+                    prefetch.submit(self.load_sample, todo[j + 1][2])
+                    if j + 1 < len(todo) else None
+                )
+                self.execute_one_task(
+                    task, self._task_key(round_idx, task_idx), sample=sample
+                )
                 done = task_idx + 1
-                if (
+                if done == len(self.all_tasks[round_idx]):
+                    self._completed_rounds = round_idx + 1
+                    self.validate_grid(self._completed_rounds)
+                    if self.checkpoint_rounds:
+                        self.save_state()
+                elif (
                     self.checkpoint_rounds
                     and self.checkpoint_every_tasks > 0
-                    and done < len(tasks)
                     and done % self.checkpoint_every_tasks == 0
                 ):
                     self.save_state(tasks_done=done)
-            self._completed_rounds = round_idx + 1
-            self.validate_grid(self._completed_rounds)
-            if self.checkpoint_rounds:
-                self.save_state()
+        finally:
+            prefetch.shutdown(wait=False, cancel_futures=True)
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
             raise ValueError("Sampling failed: output grid incomplete.")
