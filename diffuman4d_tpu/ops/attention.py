@@ -122,6 +122,7 @@ def dot_product_attention(
             flash_attention_v2,
             flash_attention_v3,
             flash_attention_v4,
+            flash_attention_v5,
             flash_supported,
         )
 
@@ -150,6 +151,12 @@ def dot_product_attention(
                     )
                 if e["impl"] == "pallas_v2" and s % 2048 == 0:
                     return flash_attention_v2(q, k, v)
+                if (
+                    e["impl"] == "pallas_v5"
+                    and d <= 128
+                    and s % min(bq, s) == 0
+                ):
+                    return flash_attention_v5(q, k, v, block_q=min(bq, s))
                 if (
                     e["impl"] in ("pallas_v3", "pallas_v4")
                     and d <= 128

@@ -5,6 +5,11 @@
 set -x
 cd /root/repo
 
+# 0. re-sweep the attention dispatch table (adds v5 single-KV-pass
+#    candidates for the small/medium-S shapes) — bench then uses the
+#    refreshed winners
+timeout 3600 python scripts/tune_attention.py > /tmp/tune_attention_r3.log 2>&1 || true
+
 # 1. headline bench (smoke tier -> warm -> cold), watchdog-guarded
 BENCH_TIMEOUT_S=4200 timeout 4500 python bench.py > /tmp/bench_r3.json.log 2>/tmp/bench_r3.err.log
 

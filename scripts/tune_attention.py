@@ -80,6 +80,7 @@ def verify(table_path: str) -> int:
         "pallas_v2": fa.flash_attention_v2,
         "pallas_v3": fa.flash_attention_v3,
         "pallas_v4": fa.flash_attention_v4,
+        "pallas_v5": fa.flash_attention_v5,
         "bundled": fa.flash_attention_bundled,
     }
     entries = sorted(
@@ -92,9 +93,12 @@ def verify(table_path: str) -> int:
             jax.random.PRNGKey(0), (e["b"], e["s"], e["h"], e["d"]), jnp.bfloat16
         )
         fn = impl_fns[e["impl"]]
-        dt = timed(
-            lambda: fn(q, q, q, block_q=e["block_q"], block_k=e["block_k"])
-        )
+        if e["impl"] == "pallas_v5":  # single-KV-pass: no block_k param
+            dt = timed(lambda: fn(q, q, q, block_q=e["block_q"]))
+        else:
+            dt = timed(
+                lambda: fn(q, q, q, block_q=e["block_q"], block_k=e["block_k"])
+            )
         tf = 4 * e["b"] * e["h"] * e["s"] ** 2 * e["d"] / dt / 1e12
         drift = tf / e["tflops"] - 1.0
         status = "OK" if drift > -0.10 else "REGRESSED"
@@ -132,6 +136,7 @@ def main():
         flash_attention_v2,
         flash_attention_v3,
         flash_attention_v4,
+        flash_attention_v5,
     )
     from diffuman4d_tpu.utils.jax_setup import setup
 
@@ -186,6 +191,18 @@ def main():
                     lambda bq=bq, bk=bk: flash_attention_v4(
                         q, q, q, block_q=bq, block_k=bk
                     ),
+                )
+        # v5 single-KV-pass: whole key sequence in one block; VMEM-bounded
+        # by the (s, bq) fp32 score buffer (cap ~32 MB)
+        for bq in (256, 512, 1024, 2048, 4096):
+            if (
+                d <= 128
+                and s % min(bq, s) == 0
+                and s * min(bq, s) * 4 <= 32 * 2**20
+            ):
+                candidates[f"v5_{bq}"] = (
+                    "pallas_v5", bq, s,
+                    lambda bq=bq: flash_attention_v5(q, q, q, block_q=bq),
                 )
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
             candidates["xla"] = ("xla", 0, 0, lambda: _xla_attention(q, q, q))

@@ -159,6 +159,43 @@ def test_flash_v4_matches_xla_interpret(seq, bq, bk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("seq,bq", [(512, 128), (256, 256), (512, 512)])
+def test_flash_v5_matches_xla_interpret(seq, bq):
+    """v5 (single-KV-pass: whole key sequence in one block, no online
+    softmax) parity, incl. block_q == sq (one grid step per bh)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v5
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, seq, 2, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v5(q, k, v, block_q=bq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_v5_large_logit_stability():
+    """exp2 shift keeps huge logits finite with a single softmax pass."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v5
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 256, 1, 64)) * 10, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 256, 1, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v5(q, k, v, block_q=128)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_flash_v4_large_logit_stability():
     from jax.experimental.pallas import tpu as pltpu
 
