@@ -153,7 +153,7 @@ def dot_product_attention(
                     return flash_attention_v2(q, k, v)
                 if (
                     e["impl"] == "pallas_v5"
-                    and d <= 128
+                    and d <= 512
                     and s % min(bq, s) == 0
                 ):
                     return flash_attention_v5(q, k, v, block_q=min(bq, s))

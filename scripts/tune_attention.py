@@ -196,7 +196,7 @@ def main():
         # by the (s, bq) fp32 score buffer (cap ~32 MB)
         for bq in (256, 512, 1024, 2048, 4096):
             if (
-                d <= 128
+                d <= 512
                 and s % min(bq, s) == 0
                 and s * min(bq, s) * 4 <= 32 * 2**20
             ):
