@@ -227,20 +227,37 @@ def main():
                     "tflops": round(best[0], 1),
                 }
             )
+        # write after every shape: a sweep killed by timeout/outage keeps
+        # the shapes it finished (remaining entries stay from the old
+        # table so coverage never shrinks)
+        _write_table(osp.abspath(args.out), table, jax, kernel_source_hash)
 
     print(json.dumps(results, indent=2))
-    out = osp.abspath(args.out)
-    with open(out, "w") as f:
+    print(f"wrote dispatch table ({len(table)} entries) to {osp.abspath(args.out)}")
+
+
+def _write_table(out: str, new_entries: list, jax, kernel_source_hash) -> None:
+    merged = {e["name"]: e for e in new_entries}
+    try:
+        with open(out) as f:
+            for e in json.load(f).get("entries", []):
+                merged.setdefault(e["name"], e)
+    except (OSError, json.JSONDecodeError):
+        pass
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "device": jax.devices()[0].device_kind,
                 "kernel_hash": kernel_source_hash(),
-                "entries": table,
+                "entries": list(merged.values()),
             },
             f,
             indent=2,
         )
-    print(f"wrote dispatch table ({len(table)} entries) to {out}")
+    import os
+
+    os.replace(tmp, out)
 
 
 if __name__ == "__main__":
