@@ -83,9 +83,9 @@ def main() -> None:
     params = init_random_params(unet, vae, args.size, seed=0)
     mark("params init")
 
-    if args.tiny:
-        from diffuman4d_tpu.data.synthetic import make_synthetic_scene
+    from diffuman4d_tpu.data.synthetic import make_synthetic_scene
 
+    if args.tiny:
         args.scene = "/tmp/d4d_4d_scene_tiny"
         if not osp.isfile(osp.join(args.scene, "0811_06", "transforms.json")):
             make_synthetic_scene(
@@ -93,6 +93,15 @@ def main() -> None:
                 image_size=64, unique_frames=2,
             )
         mark("tiny scene ready")
+    elif not osp.isfile(osp.join(args.scene, "0811_06", "transforms.json")):
+        # full-size scene: 4 rendered frames/camera, rest hardlinked — the
+        # pipeline is content-independent, so IO/decode/cache paths are
+        # exercised at real per-frame cost without hours of 1-core rendering
+        make_synthetic_scene(
+            args.scene, "0811_06", num_cams=48, num_frames=150,
+            image_size=args.size, unique_frames=4,
+        )
+        mark("full-size scene rendered (4 unique frames/cam, rest hardlinked)")
     dataset = SpaTemDataset(
         data_dir=args.scene, scene_label="0811_06",
         height=args.size, width=args.size,

@@ -116,6 +116,11 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--verify", action="store_true")
     p.add_argument(
+        "--shapes", default=None,
+        help="comma-separated substrings; sweep only matching HOT_SHAPES "
+        "(targeted re-sweep after a timeout — the table merges per shape)",
+    )
+    p.add_argument(
         "--out",
         default=osp.join(
             osp.dirname(__file__), "..", "diffuman4d_tpu", "ops",
@@ -143,6 +148,9 @@ def main():
     setup()
 
     shapes = HOT_SHAPES[:2] if args.quick else HOT_SHAPES
+    if args.shapes:
+        keys = [k.strip() for k in args.shapes.split(",") if k.strip()]
+        shapes = [sh for sh in shapes if any(k in sh[0] for k in keys)]
     results = {}
     table = []
     for name, b, s, h, d in shapes:
