@@ -125,21 +125,21 @@ class Diffuman4DPipeline:
         # frame-deterministic encode keys (cache hits are bit-identical to
         # recomputation, independent of task order — same philosophy as
         # grid-indexed init noise).
+        #
+        # Both caches are byte-budgeted LRUs (ByteLRU): a demo_4d grid has
+        # 7,200 distinct (camera, frame) cells (~21 GB of skeletons), so
+        # insertion must evict, never merely stop — the round-3 real-chip
+        # OOM came from open-loop budgets plus whole-sequence pose-feature
+        # materialization (since replaced by per-window-chunk streaming,
+        # see sliding_denoise). pose_cache_mb is retained for backward
+        # compatibility but unused: pose features are now ephemeral.
         self.cond_cache = cond_cache
         self.cond_seed = cond_seed
-        self._skel_cache: dict = {}
-        self._skel_bytes = 0
-        self._skel_budget = skel_cache_mb * (1 << 20)
-        self._pix_cache: dict = {}
-        self._pix_bytes = 0
-        self._pix_budget = pix_cache_mb * (1 << 20)
-        # per-frame pose FEATURES (~10.5 MB bf16 at 128^2x320): skips both
-        # the skeleton batch assembly and the pose-encoder forward for
-        # frames seen before; the encoder is deterministic so hits are
-        # bit-identical
-        self._pose_cache: dict = {}
-        self._pose_bytes = 0
-        self._pose_budget = pose_cache_mb * (1 << 20)
+        from diffuman4d_tpu.utils.arrays import ByteLRU
+
+        self._skel_cache = ByteLRU(skel_cache_mb * (1 << 20))
+        self._pix_cache = ByteLRU(pix_cache_mb * (1 << 20))
+        del pose_cache_mb  # pose features stream per window chunk now
         self._neg_pose = None
 
         self._unet_fwd = self._plain_unet_fwd
@@ -156,19 +156,16 @@ class Diffuman4DPipeline:
             )
         )
         self._pose_j = jax.jit(self._pose_impl)
+        self._chunk_batch_j = jax.jit(self._chunk_cond_batch_impl)
         self._plucker_j = jax.jit(self._plucker_impl)
         self._rejit_sliding()
 
     def clear_condition_caches(self) -> None:
         """Drop all device-resident per-frame condition caches (skeletons,
-        conditional latents, pose features). Used by bench.py's cold tier
-        to measure a first-visit task honestly."""
+        conditional latents). Used by bench.py's cold tier to measure a
+        first-visit task honestly."""
         self._skel_cache.clear()
-        self._skel_bytes = 0
         self._pix_cache.clear()
-        self._pix_bytes = 0
-        self._pose_cache.clear()
-        self._pose_bytes = 0
         self._neg_pose = None
 
     def _rejit_sliding(self) -> None:
@@ -281,17 +278,10 @@ class Diffuman4DPipeline:
         """Per-frame pose features + the constant black-skeleton negative
         (computed once; the reference re-runs the pose encoder per window,
         unet_multiview_condition.py:552-554)."""
-        b = self.vae_batch
-        outs = [
-            self._pose_j(self.params["unet"], c)[:m]
-            for c, m in self._fixed_chunks(skeletons, b)
-        ]
-        feats = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-        neg = self._pose_j(
-            self.params["unet"],
-            -jnp.ones((b,) + skeletons.shape[1:], skeletons.dtype),
-        )[:1]
-        return feats, neg
+        return (
+            self._pose_from_skel(skeletons),
+            self._neg_pose_feature(skeletons.shape[1:]),
+        )
 
     def _plucker_impl(self, Ks, poses):
         return calc_plucker_embeds_lowres(
@@ -358,71 +348,78 @@ class Diffuman4DPipeline:
             z = self._sample_lat_j(mean, logvar, keys)
             fresh = {labels[i]: z[j] for j, i in enumerate(miss)}
             for lb, row in fresh.items():
-                if self._pix_bytes + row.nbytes <= self._pix_budget:
-                    self._pix_cache[lb] = row
-                    self._pix_bytes += row.nbytes
+                self._pix_cache.put(lb, row, row.nbytes)
         else:
             fresh = {}
         return jnp.stack(
-            [self._pix_cache.get(labels[i], fresh.get(labels[i]))
-             for i in cond_rows]
+            [
+                fresh[labels[i]]
+                if labels[i] in fresh
+                else self._pix_cache.value(labels[i])
+                for i in cond_rows
+            ]
         )
 
-    def _skeletons_to_device(self, sample, indices=None) -> jnp.ndarray:
-        """Per-frame device-resident uint8 skeleton cache; returns the
-        task's skeleton batch (or the ``indices`` subset) in model dtype
-        without re-uploading frames seen before."""
+    def _skel_rows(self, sample, indices=None) -> list:
+        """Per-frame device-resident uint8 skeleton rows (LRU-cached).
+        Returns a list of (H, W, 3) uint8 device arrays — rows, not one
+        stacked array, so an evicting cache and a live task can share the
+        same buffers without doubling HBM."""
         skeletons, labels = sample.skeletons, sample.labels
         idx = range(len(labels)) if indices is None else indices
         rows = []
         for i in idx:
             lb = labels[i]
-            a = self._skel_cache.get(lb)
+            a = self._skel_cache.value(lb)
             if a is None:
                 sk = np.asarray(skeletons[i], np.float32)
                 u8 = np.clip(np.rint((sk + 1.0) * 127.5), 0, 255).astype(
                     np.uint8
                 )
                 a = jnp.asarray(u8)
-                if self._skel_bytes + u8.nbytes <= self._skel_budget:
-                    self._skel_cache[lb] = a
-                    self._skel_bytes += u8.nbytes
+                self._skel_cache.put(lb, a, u8.nbytes)
             rows.append(a)
-        return self._skel_norm_j(jnp.stack(rows))
+        return rows
 
-    def _pose_features_cached(self, sample):
-        """Per-frame cached pose features; only cache-miss frames touch
-        the skeleton path and the pose encoder."""
-        labels = sample.labels
-        miss = [i for i, lb in enumerate(labels) if lb not in self._pose_cache]
-        fresh = {}
-        if miss:
-            skel_miss = self._skeletons_to_device(sample, miss)
-            outs = [
-                self._pose_j(self.params["unet"], c)[:m]
-                for c, m in self._fixed_chunks(skel_miss, self.vae_batch)
-            ]
-            fm = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-            for j, i in enumerate(miss):
-                row = fm[j]
-                fresh[labels[i]] = row
-                if self._pose_bytes + row.nbytes <= self._pose_budget:
-                    self._pose_cache[labels[i]] = row
-                    self._pose_bytes += row.nbytes
-        feats = jnp.stack(
-            [self._pose_cache.get(lb, fresh.get(lb)) for lb in labels]
-        )
+    def _skeletons_to_device(self, sample, indices=None) -> jnp.ndarray:
+        """Stacked + normalized skeleton batch (model dtype) for the
+        VAE-encode path (``enable_pose_encoder=False``)."""
+        return self._skel_norm_j(jnp.stack(self._skel_rows(sample, indices)))
+
+    def _pose_from_skel(self, skel_norm) -> jnp.ndarray:
+        """Pose-encoder forward over a normalized skeleton batch, in fixed
+        micro-batches (one compiled program regardless of row count)."""
+        outs = [
+            self._pose_j(self.params["unet"], c)[:m]
+            for c, m in self._fixed_chunks(skel_norm, self.vae_batch)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _neg_pose_feature(self, skel_shape) -> jnp.ndarray:
+        """Constant black-skeleton pose feature for the CFG negative half
+        (pipeline_diffuman4d.py:349-356) — computed once per pipeline."""
         if self._neg_pose is None:
             b = self.vae_batch
             self._neg_pose = self._pose_j(
                 self.params["unet"],
-                -jnp.ones((b,) + sample.skeletons.shape[1:], self.unet.dtype),
+                -jnp.ones((b,) + tuple(skel_shape), self.unet.dtype),
             )[:1]
-        return feats, self._neg_pose
+        return self._neg_pose
 
-    def prepare_conditions(self, sample, key) -> dict:
+    def prepare_conditions(self, sample, key, stacked_skel: bool = False) -> dict:
         """Host Sample -> device condition dict. Only conditional rows'
-        pixels are VAE-encoded; non-cond rows get zeros (never consumed)."""
+        pixels are VAE-encoded; non-cond rows get zeros (never consumed).
+
+        With the pose encoder enabled, the dict carries the RAW uint8
+        skeletons ("skel_rows": list of per-frame device rows, or
+        "skel_u8": one stacked array when ``stacked_skel`` — the wave path
+        needs a stackable pytree leaf) instead of materialized pose
+        features: a demo_4d temporal task is 300 rows, and 300 pose-feature
+        maps (~3.1 GB bf16) OOM a 16 GB chip next to the grid and params.
+        ``sliding_denoise`` computes features per window chunk instead —
+        the same per-window-only device residency the reference gets from
+        uploading each window separately (pipeline_diffuman4d.py:521-539).
+        """
         dtype = self.unet.dtype
         is_cond_input = sample.cond_masks == 0.0  # inputs condition the model
         n = sample.pixel_values.shape[0]
@@ -452,12 +449,29 @@ class Diffuman4DPipeline:
             "is_cond": jnp.asarray(is_cond_input),
         }
         if self.unet.config.enable_pose_encoder:
-            if use_cache:
-                feats, neg = self._pose_features_cached(sample)
+            rows = (
+                self._skel_rows(sample)
+                if use_cache
+                else [
+                    jnp.asarray(
+                        np.clip(
+                            np.rint(
+                                (np.asarray(sk, np.float32) + 1.0) * 127.5
+                            ),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                    )
+                    for sk in sample.skeletons
+                ]
+            )
+            if stacked_skel:
+                cond["skel_u8"] = jnp.stack(rows)
             else:
-                feats, neg = self.pose_features(self._h2d(sample.skeletons))
-            cond["pose_features"] = feats
-            cond["neg_pose_feature"] = neg
+                cond["skel_rows"] = rows
+            cond["neg_pose_feature"] = self._neg_pose_feature(
+                sample.skeletons.shape[1:]
+            )
         else:
             k_sk, key = jax.random.split(key)
             skel_dev = (
@@ -568,6 +582,7 @@ class Diffuman4DPipeline:
         t_idx,
         windows,
         aux=None,
+        cond_windows=None,
         *,
         domain: str,
         num_denoising_steps: int,
@@ -580,8 +595,11 @@ class Diffuman4DPipeline:
 
         def body(i, carry):
             latents, t_idx, aux = carry
-            w = windows[i]  # (L,)
-            cond_w = {k: jnp.take(cond[k], w, axis=0) for k in gather_keys}
+            w = windows[i]  # (L,) — rows in the full sequence (latents)
+            # chunk-streamed conditions are compact per-chunk arrays with
+            # their own row numbering (see _chunk_cond)
+            wc = w if cond_windows is None else cond_windows[i]
+            cond_w = {k: jnp.take(cond[k], wc, axis=0) for k in gather_keys}
             if "neg_pose_feature" in cond:
                 cond_w["neg_pose_feature"] = cond["neg_pose_feature"]
             lat_w = jnp.take(latents, w, axis=0)
@@ -606,7 +624,8 @@ class Diffuman4DPipeline:
         return latents, t_idx, aux
 
     def _sliding_batch_impl(
-        self, unet_params, cond_b, latents_b, t_idx_b, windows, aux_b=None, *,
+        self, unet_params, cond_b, latents_b, t_idx_b, windows, aux_b=None,
+        cond_windows=None, *,
         domain: str, num_denoising_steps: int,
     ):
         """vmap of the sliding loop over a leading task axis — tasks within
@@ -624,6 +643,7 @@ class Diffuman4DPipeline:
             def one(cond, latents, t_idx, aux):
                 return self._sliding_impl(
                     unet_params, cond, latents, t_idx, windows, aux,
+                    cond_windows,
                     domain=domain, num_denoising_steps=num_denoising_steps,
                 )
 
@@ -632,6 +652,7 @@ class Diffuman4DPipeline:
         def one(cond, latents, t_idx):
             return self._sliding_impl(
                 unet_params, cond, latents, t_idx, windows,
+                cond_windows=cond_windows,
                 domain=domain, num_denoising_steps=num_denoising_steps,
             )
 
@@ -644,6 +665,73 @@ class Diffuman4DPipeline:
         while n_windows % c:
             c -= 1
         return c
+
+    # -- per-chunk condition streaming ---------------------------------
+    # A demo_4d temporal task is 300 rows; materializing every row's pose
+    # features (~3.1 GB bf16 at 128^2 x 320) next to the 7,200-cell grid
+    # and the params OOMs a 16 GB chip (observed round 3). The window loop
+    # is already chunked, so conditions get the same treatment: each chunk
+    # gathers only its windows' row union (~window + stride*(chunk-1) rows)
+    # and computes pose features for just those rows. The pose encoder is
+    # deterministic, so chunk-local recompute is bit-identical to a
+    # whole-sequence precompute; the reference pays the same cost by
+    # re-running its pose encoder inside every window's UNet forward
+    # (unet_multiview_condition.py:552-554).
+    @staticmethod
+    def _chunk_rows(wchunk: np.ndarray, pad_u: int):
+        """Unique rows used by a chunk of windows, plus the windows
+        remapped into that compact row set. The union is padded to
+        ``pad_u`` (repeating the last row — pad rows are never indexed)
+        so all chunks compile to one program shape."""
+        U = np.unique(wchunk)
+        wc = np.searchsorted(U, wchunk).astype(wchunk.dtype)
+        if pad_u > U.size:
+            U = np.concatenate([U, np.full(pad_u - U.size, U[-1], U.dtype)])
+        return U, wc
+
+    def _chunk_pad_u(self, windows: np.ndarray, c: int) -> int:
+        return max(
+            np.unique(windows[i : i + c]).size
+            for i in range(0, windows.shape[0], c)
+        )
+
+    _DENSE_COND_KEYS = ("pix_latents", "plucker", "is_cond", "skeleton_latents")
+
+    def _chunk_cond(self, cond: dict, wchunk: np.ndarray, pad_u: int):
+        """Single-task chunk conditions: dense per-row keys gathered to the
+        chunk's row union; pose features computed fresh for those rows."""
+        U, wc = self._chunk_rows(np.asarray(wchunk), pad_u)
+        Uj = jnp.asarray(U)
+        out = {
+            k: jnp.take(cond[k], Uj, axis=0)
+            for k in self._DENSE_COND_KEYS
+            if k in cond
+        }
+        if "skel_rows" in cond:
+            rows = cond["skel_rows"]
+            sk = self._skel_norm_j(jnp.stack([rows[i] for i in U]))
+            out["pose_features"] = self._pose_from_skel(sk)
+        elif "skel_u8" in cond:
+            sk = self._skel_norm_j(jnp.take(cond["skel_u8"], Uj, axis=0))
+            out["pose_features"] = self._pose_from_skel(sk)
+        if "neg_pose_feature" in cond:
+            out["neg_pose_feature"] = cond["neg_pose_feature"]
+        return out, jnp.asarray(wc)
+
+    def _chunk_cond_batch_impl(self, unet_params, dense, skel_u8, U):
+        """Batched (wave) chunk conditions, one jitted program: gather the
+        row union along the per-task row axis and run the pose encoder on
+        it (vmapped over the task axis, which may be mesh-sharded)."""
+        out = {k: jnp.take(v, U, axis=1) for k, v in dense.items()}
+        if skel_u8 is not None:
+            sk = jnp.take(skel_u8, U, axis=1)
+            norm = (sk.astype(jnp.float32) / 127.5 - 1.0).astype(
+                self.unet.dtype
+            )
+            out["pose_features"] = jax.vmap(
+                lambda s: self._pose_impl(unet_params, s)
+            )(norm)
+        return out
 
     def sliding_denoise_batch(self, cond_b, latents_b, t_idx_b, windows, domain,
                               aux_b=None, mesh=None):
@@ -661,8 +749,16 @@ class Diffuman4DPipeline:
             t_idx_b = put(t_idx_b)
             if aux_b is not None:
                 aux_b = jax.tree.map(put, aux_b)
+        # streaming skeleton source never enters the denoise jit — pose
+        # features are computed per window chunk (see _chunk_cond*)
+        cond_b = dict(cond_b)
+        skel_u8 = cond_b.pop("skel_u8", None)
+        if "skel_rows" in cond_b:
+            skel_u8 = jnp.stack(cond_b.pop("skel_rows"), axis=1)
+        stream = skel_u8 is not None
         windows = np.asarray(windows)
         c = self._window_chunk_size(windows.shape[0])
+        pad_u = self._chunk_pad_u(windows, c) if stream else 0
         t_b = jnp.asarray(t_idx_b, jnp.int32)
         if self.scheduler.has_aux and aux_b is None:
             # init once; re-initializing per chunk would drop multistep
@@ -683,15 +779,31 @@ class Diffuman4DPipeline:
                 if mesh is not None and self._mesh_unet_params is not None
                 else self.params["unet"]
             )
+            if stream:
+                U, wc = self._chunk_rows(windows[i : i + c], pad_u)
+                cond_c = self._chunk_batch_j(
+                    unet_params,
+                    {k: v for k, v in cond_b.items()
+                     if k != "neg_pose_feature"},
+                    skel_u8,
+                    # numpy: committed single-device arrays cannot join a
+                    # global-mesh jit under multi-process (same as windows)
+                    U,
+                )
+                if "neg_pose_feature" in cond_b:
+                    cond_c["neg_pose_feature"] = cond_b["neg_pose_feature"]
+            else:
+                cond_c, wc = cond_b, None
             latents_b, t_b, aux_ret = self._sliding_batch_j(
                 unet_params,
-                cond_b,
+                cond_c,
                 latents_b,
                 t_b,
                 # numpy (not jnp.asarray): a committed single-device array
                 # cannot join a global-mesh jit under multi-process
                 windows[i : i + c],
                 aux_b,
+                wc,
                 domain=domain,
                 num_denoising_steps=self.sliding.num_denoising_steps,
             )
@@ -715,18 +827,26 @@ class Diffuman4DPipeline:
 
         windows = np.asarray(windows)
         c = self._window_chunk_size(windows.shape[0])
+        stream = "skel_rows" in cond or "skel_u8" in cond
+        pad_u = self._chunk_pad_u(windows, c) if stream else 0
         if self.scheduler.has_aux and aux is None:
             # materialize once so every chunk call shares one trace
             aux = self.scheduler.init_aux(latents.shape)
         t_dev = jnp.asarray(t_idx, jnp.int32)
         for i in range(0, windows.shape[0], c):
+            wchunk = windows[i : i + c]
+            if stream:
+                cond_c, wc = self._chunk_cond(cond, wchunk, pad_u)
+            else:
+                cond_c, wc = cond, None
             latents, t_dev, aux_ret = self._sliding_j(
                 self.params["unet"],
-                cond,
+                cond_c,
                 latents,
                 t_dev,
-                jnp.asarray(windows[i : i + c]),
+                jnp.asarray(wchunk),
                 aux,
+                wc,
                 domain=domain,
                 num_denoising_steps=self.sliding.num_denoising_steps,
             )

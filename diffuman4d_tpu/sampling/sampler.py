@@ -502,7 +502,11 @@ class SlidingIterativeSampler:
                 s = self.load_sample(task)
             samples.append(s)
             with phase("wave/prepare_conditions", sync=False):
-                conds.append(self.pipeline.prepare_conditions(s, sub))
+                # stacked_skel: wave conds are tree-stacked across tasks,
+                # so the skeleton source must be one array leaf per task
+                conds.append(
+                    self.pipeline.prepare_conditions(s, sub, stacked_skel=True)
+                )
             cells.append(self._grid_cells(s.labels))
         return padded, samples, conds, cells
 
