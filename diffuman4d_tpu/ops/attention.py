@@ -55,16 +55,30 @@ def _dispatch_table() -> list[dict]:
             with open(path) as f:
                 data = json.load(f)
             _TABLE = data["entries"]
-            stamped = data.get("kernel_hash")
-            if stamped is not None and stamped != kernel_source_hash():
+            cur = kernel_source_hash()
+            stale = [
+                e["name"]
+                for e in _TABLE
+                if (e.get("kernel_hash") or data.get("kernel_hash"))
+                not in (None, cur)
+            ]
+            if stale:
                 log.warning(
-                    "attention_table.json was swept against a different "
-                    "flash_attention.py (table hash %s != current %s); "
-                    "block sizes may be stale — re-run "
-                    "scripts/tune_attention.py (or --verify to check the "
-                    "hot entries quickly)",
-                    stamped,
-                    kernel_source_hash(),
+                    "attention_table.json entries swept against a different "
+                    "flash_attention.py (stale vs current %s): %s — block "
+                    "sizes may be stale; re-run scripts/tune_attention.py "
+                    "(or --verify to check the hot entries quickly)",
+                    cur,
+                    ", ".join(stale),
+                )
+            incomplete = [
+                e["name"] for e in _TABLE if e.get("candidates_failed")
+            ]
+            if incomplete:
+                log.warning(
+                    "attention_table.json winners chosen with failed "
+                    "candidates outstanding (sweep incomplete): %s",
+                    ", ".join(incomplete),
                 )
         except (OSError, KeyError, json.JSONDecodeError):
             _TABLE = []
@@ -123,7 +137,9 @@ def dot_product_attention(
             flash_attention_v3,
             flash_attention_v4,
             flash_attention_v5,
+            flash_attention_v6,
             flash_supported,
+            v5_vmem_ok,
         )
 
         on_accel = jax.default_backend() != "cpu"
@@ -155,8 +171,24 @@ def dot_product_attention(
                     e["impl"] == "pallas_v5"
                     and d <= 512
                     and s % min(bq, s) == 0
+                    # single-pass kernels hold the whole (sk, bq) fp32
+                    # score block in VMEM: nearest-match lookups must not
+                    # route larger-than-measured shapes to a config that
+                    # cannot compile (scripts/repro_v5_16k.py)
+                    and v5_vmem_ok(k.shape[1], min(bq, s), d)
                 ):
                     return flash_attention_v5(q, k, v, block_q=min(bq, s))
+                if e["impl"] == "pallas_v6":
+                    bb = e.get("block_b", 4)
+                    if (
+                        d <= 512
+                        and s % min(bq, s) == 0
+                        and (q.shape[0] * q.shape[2]) % bb == 0
+                        and v5_vmem_ok(k.shape[1], min(bq, s), d, bb)
+                    ):
+                        return flash_attention_v6(
+                            q, k, v, block_q=min(bq, s), block_b=bb
+                        )
                 if (
                     e["impl"] in ("pallas_v3", "pallas_v4")
                     and d <= 128

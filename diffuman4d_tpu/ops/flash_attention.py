@@ -29,6 +29,27 @@ DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 
+# Mosaic's default scoped-VMEM cap on this toolchain is 16 MB (measured:
+# v5 at s=16384, block_q=256 fails AOT compile with "Scoped allocation
+# with size 28.07M and limit 16.00M" — scripts/repro_v5_16k.py). v5e has
+# 128 MB of physical VMEM; raising the cap lets the single-pass kernels
+# hold whole-sequence score blocks, which removes the per-grid-step fixed
+# costs that dominate the model's 1k-4k-token attention shapes.
+_VMEM_LIMIT = 100 * 1024 * 1024
+from jax.experimental.pallas import tpu as _pltpu  # noqa: E402
+
+_COMPILER_PARAMS = _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def v5_vmem_ok(sk: int, block_q: int, d: int = 64, block_b: int = 1) -> bool:
+    """Whether a single-pass kernel's fp32 score block (+ exp2 copy) and
+    KV residency fit the raised VMEM cap with headroom for input
+    double-buffering. Used by the dispatcher and the tuner so unmeasured
+    nearest-match shapes can never route to an uncompilable config."""
+    score = block_b * sk * block_q * 4 * 2  # scores + exp2(p) worst case
+    kv = block_b * sk * d * 2 * 2 * 2  # K + V^T bf16, double-buffered
+    return score + kv <= int(_VMEM_LIMIT * 0.85)
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, num_kv):
     j = pl.program_id(2)
@@ -164,6 +185,7 @@ def flash_attention_v2(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qr.size + kr.size + vr.size + b * h * sq * d)
@@ -304,6 +326,7 @@ def flash_attention_v3(
             pltpu.VMEM((8, block_q), jnp.float32),  # running normalizer
             pltpu.VMEM((d, block_q), jnp.float32),  # output accumulator^T
         ],
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qr.size + kr.size + vt.size + b * h * sq * d)
@@ -425,6 +448,7 @@ def flash_attention_v4(
             pltpu.VMEM((8, block_q), jnp.float32),  # running max (log2)
             pltpu.VMEM((d + 1, block_q), jnp.float32),  # acc^T + normalizer
         ],
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qr.size + kr.size + vt1.size + b * h * sq * d)
@@ -491,6 +515,78 @@ def flash_attention_v5(
         ],
         out_specs=pl.BlockSpec((None, d, block_q), lambda bh, i: (bh, 0, i)),
         out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qr.size + kr.size + vt.size + b * h * sq * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vt)
+
+    return out.reshape(b, h, d, sq).transpose(0, 3, 1, 2)
+
+
+def _flash_kernel_v6(q_ref, k_ref, vt_ref, o_ref):
+    """v5 batched over (batch*heads): ``block_b`` rows per grid step.
+
+    The model's per-frame 2D attention (reference attn2 path,
+    src/diffusers/models/attention.py:116-121) runs at s=1k-4k with
+    batch*heads in the hundreds — there the grid-step fixed costs dominate
+    (v3 at the 2d@64sq shape: 6,400 grid steps for 1.37 TFLOP, measured
+    53.5 TF/s). Batching heads per step divides the step count by
+    ``block_b``; the matmuls become MXU batched dot_generals and the
+    whole-sequence score block lives in (raised-cap) VMEM."""
+    st = jax.lax.dot_general(
+        k_ref[:], q_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bb, sk, bq) fp32, log2 units (q pre-scaled)
+    m = jnp.max(st, axis=1, keepdims=True)
+    p = jnp.exp2(st - m)
+    l = jnp.sum(p, axis=1, keepdims=True)  # (bb, 1, bq)
+    pv = jax.lax.dot_general(
+        vt_ref[:], p.astype(vt_ref.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bb, d, bq)
+    o_ref[:] = (pv / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_b"))
+def flash_attention_v6(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1024,
+    block_b: int = 4,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_b = min(block_b, b * h)
+    if sq % block_q or (b * h) % block_b:
+        raise ValueError(
+            f"(sq={sq}, b*h={b * h}) not divisible by blocks "
+            f"({block_q}, {block_b})"
+        )
+
+    log2e = 1.4426950408889634
+    qs = (q * jnp.asarray(log2e / (d**0.5), q.dtype)).astype(q.dtype)
+
+    qr = qs.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, sk)
+
+    out = pl.pallas_call(
+        _flash_kernel_v6,
+        grid=(b * h // block_b, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((block_b, block_q, d), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((block_b, sk, d), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((block_b, d, sk), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, d, block_q), lambda bb, i: (bb, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qr.size + kr.size + vt.size + b * h * sq * d)
@@ -591,6 +687,7 @@ def flash_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
             pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
         ],
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qr.size + kr.size + vr.size + b * h * sq * d)

@@ -228,3 +228,39 @@ def test_flash_v3_large_logit_stability():
         got = flash_attention_v3(q, k, v, block_q=64, block_k=64)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("seq,bq,bb", [(256, 128, 2), (256, 256, 6), (512, 512, 3)])
+def test_flash_v6_matches_xla_interpret(seq, bq, bb):
+    """v6 (single-pass batched over batch*heads) parity, incl. block_b
+    that does not divide b or h individually (only b*h)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v6
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(2, seq, 3, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, seq, 3, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, seq, 3, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v6(q, k, v, block_q=bq, block_b=bb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_v6_large_logit_stability():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffuman4d_tpu.ops.attention import _xla_attention
+    from diffuman4d_tpu.ops.flash_attention import flash_attention_v6
+
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.normal(size=(2, 256, 2, 64)) * 10, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 256, 2, 64)) * 10, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 256, 2, 64)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_v6(q, k, v, block_q=128, block_b=2)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
