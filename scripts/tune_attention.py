@@ -81,6 +81,7 @@ def verify(table_path: str) -> int:
         "pallas_v3": fa.flash_attention_v3,
         "pallas_v4": fa.flash_attention_v4,
         "pallas_v5": fa.flash_attention_v5,
+        "pallas_v6": fa.flash_attention_v6,
         "bundled": fa.flash_attention_bundled,
     }
     entries = sorted(
@@ -89,12 +90,23 @@ def verify(table_path: str) -> int:
     )[:2]
     rc = 0
     for e in entries:
+        if e.get("candidates_failed"):
+            print(
+                f"NOTE: {e['name']} winner was chosen with "
+                f"{e['candidates_failed']} failed candidates outstanding "
+                "(sweep incomplete)"
+            )
         q = jax.random.normal(
             jax.random.PRNGKey(0), (e["b"], e["s"], e["h"], e["d"]), jnp.bfloat16
         )
         fn = impl_fns[e["impl"]]
         if e["impl"] == "pallas_v5":  # single-KV-pass: no block_k param
             dt = timed(lambda: fn(q, q, q, block_q=e["block_q"]))
+        elif e["impl"] == "pallas_v6":
+            dt = timed(
+                lambda: fn(q, q, q, block_q=e["block_q"],
+                           block_b=e.get("block_b", 4))
+            )
         else:
             dt = timed(
                 lambda: fn(q, q, q, block_q=e["block_q"], block_k=e["block_k"])
@@ -142,6 +154,8 @@ def main():
         flash_attention_v3,
         flash_attention_v4,
         flash_attention_v5,
+        flash_attention_v6,
+        v5_vmem_ok,
     )
     from diffuman4d_tpu.utils.jax_setup import setup
 
@@ -151,6 +165,11 @@ def main():
     if args.shapes:
         keys = [k.strip() for k in args.shapes.split(",") if k.strip()]
         shapes = [sh for sh in shapes if any(k in sh[0] for k in keys)]
+        if not shapes:
+            raise SystemExit(
+                f"--shapes {args.shapes!r} matched no HOT_SHAPES "
+                f"(available: {', '.join(sh[0] for sh in HOT_SHAPES)})"
+            )
     results = {}
     table = []
     for name, b, s, h, d in shapes:
@@ -186,7 +205,8 @@ def main():
                 ),
             )
         for bq, bk in ((2048, 512), (1024, 512), (2048, 1024), (1024, 1024),
-                       (4096, 512), (2048, 256), (512, 512)):
+                       (4096, 512), (4096, 1024), (4096, 2048), (2048, 256),
+                       (512, 512)):
             if s % min(bq, s) == 0 and s % min(bk, s) == 0 and d <= 128:
                 candidates[f"v3_{bq}x{bk}"] = (
                     "pallas_v3", bq, bk,
@@ -201,55 +221,100 @@ def main():
                     ),
                 )
         # v5 single-KV-pass: whole key sequence in one block; VMEM-bounded
-        # by the (s, bq) fp32 score buffer (cap ~32 MB)
+        # by the (s, bq) fp32 score buffer under the raised 100 MB cap
+        # (flash_attention._VMEM_LIMIT; the default 16 MB cap was the r3
+        # s=16384 compile failure — scripts/repro_v5_16k.py)
         for bq in (256, 512, 1024, 2048, 4096):
             if (
                 d <= 512
                 and s % min(bq, s) == 0
-                and s * min(bq, s) * 4 <= 32 * 2**20
+                and v5_vmem_ok(s, min(bq, s), d)
             ):
                 candidates[f"v5_{bq}"] = (
                     "pallas_v5", bq, s,
                     lambda bq=bq: flash_attention_v5(q, q, q, block_q=bq),
                 )
+        # v6 = v5 batched over (batch*heads): divides the grid-step count
+        # by block_b — targets the 1k-4k-token shapes where per-step fixed
+        # costs dominate (2d@64sq measured 53.5 TF/s under v3)
+        for bq in (512, 1024, 2048, 4096):
+            for bb in (2, 4, 8, 16):
+                if (
+                    d <= 512
+                    and s % min(bq, s) == 0
+                    and (b * h) % bb == 0
+                    and bb < b * h
+                    and v5_vmem_ok(s, min(bq, s), d, bb)
+                ):
+                    candidates[f"v6_{bq}b{bb}"] = (
+                        "pallas_v6", bq, s,
+                        lambda bq=bq, bb=bb: flash_attention_v6(
+                            q, q, q, block_q=bq, block_b=bb
+                        ),
+                    )
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
             candidates["xla"] = ("xla", 0, 0, lambda: _xla_attention(q, q, q))
 
         best = None
+        failed = 0
         for cname, (impl, bq, bk, fn) in candidates.items():
             try:
                 dt = timed(fn)
                 tf = flops / dt / 1e12
                 row[cname] = {"ms": round(dt * 1e3, 2), "tflops": round(tf, 1)}
                 if best is None or tf > best[0]:
-                    best = (tf, impl, bq, bk)
+                    best = (tf, impl, bq, bk, cname)
             except Exception as e:  # noqa: BLE001 — record and move on
                 row[cname] = {"error": str(e)[:120]}
+                failed += 1
             print(name, cname, row[cname], flush=True)
         results[name] = row
         if best is not None:
-            table.append(
-                {
-                    "name": name, "b": b, "s": s, "h": h, "d": d,
-                    "impl": best[1], "block_q": best[2], "block_k": best[3],
-                    "tflops": round(best[0], 1),
-                }
-            )
+            entry = {
+                "name": name, "b": b, "s": s, "h": h, "d": d,
+                "impl": best[1], "block_q": best[2], "block_k": best[3],
+                "tflops": round(best[0], 1),
+                # per-entry stamp: a --shapes partial re-sweep must not
+                # launder carried-over entries' staleness (they keep their
+                # own hash; the loader compares per entry)
+                "kernel_hash": kernel_source_hash(),
+                # > 0 marks "winner chosen against an incompletely measured
+                # field" (e.g. remote-compile outages mid-sweep) — the
+                # loader and --verify surface it
+                "candidates_failed": failed,
+            }
+            if best[1] == "pallas_v6":
+                entry["block_b"] = int(best[4].rsplit("b", 1)[1])
+            table.append(entry)
         # write after every shape: a sweep killed by timeout/outage keeps
         # the shapes it finished (remaining entries stay from the old
         # table so coverage never shrinks)
         _write_table(osp.abspath(args.out), table, jax, kernel_source_hash)
 
     print(json.dumps(results, indent=2))
-    print(f"wrote dispatch table ({len(table)} entries) to {osp.abspath(args.out)}")
+    try:
+        with open(osp.abspath(args.out)) as f:
+            n_merged = len(json.load(f).get("entries", []))
+    except (OSError, json.JSONDecodeError):
+        n_merged = len(table)
+    print(
+        f"measured {len(table)} shapes this run; dispatch table now holds "
+        f"{n_merged} entries at {osp.abspath(args.out)}"
+    )
 
 
 def _write_table(out: str, new_entries: list, jax, kernel_source_hash) -> None:
     merged = {e["name"]: e for e in new_entries}
     try:
         with open(out) as f:
-            for e in json.load(f).get("entries", []):
-                merged.setdefault(e["name"], e)
+            old = json.load(f)
+        for e in old.get("entries", []):
+            # carried-over entries keep the hash they were measured under
+            # (backfilled from the old table-level stamp if absent), so a
+            # partial re-sweep cannot mark stale entries fresh
+            if "kernel_hash" not in e and old.get("kernel_hash"):
+                e["kernel_hash"] = old["kernel_hash"]
+            merged.setdefault(e["name"], e)
     except (OSError, json.JSONDecodeError):
         pass
     tmp = out + ".tmp"
