@@ -31,12 +31,17 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="/tmp/d4d_4d_scene")
+    ap.add_argument("--scene", default=None,
+                    help="scene dir (default: /tmp/d4d_4d_scene_{size} — "
+                    "size-keyed so a --size change can't silently reuse a "
+                    "scene rendered at another resolution)")
     ap.add_argument("--out", default="/tmp/d4d_4d_slice_out")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny models, same 48x150 grid logic")
     args = ap.parse_args()
+    if args.scene is None:
+        args.scene = f"/tmp/d4d_4d_scene_{args.size}"
 
     if args.tiny:
         import os
@@ -140,16 +145,47 @@ def main() -> None:
             )
         tt = time.perf_counter()
         k, key = jax.random.split(key)
-        sampler.execute_one_task(task, k)
+        # per-phase breakdown (same stages as bench.run_once) so slice-vs-
+        # bench divergence is explained by data, not guessed: the slice's
+        # first visit pays host IO/decode for every frame at 1024^2 plus
+        # per-shape compiles the bench amortizes across its warmup tier
+        phases = {}
+        tp = time.perf_counter()
+
+        def pmark(name):
+            nonlocal tp
+            jax.block_until_ready(jax.numpy.zeros(()))
+            phases[name] = round(time.perf_counter() - tp, 1)
+            tp = time.perf_counter()
+
+        sample = sampler.load_sample(task)
+        pmark("load_sample")
+        spa, tem = sampler._grid_cells(sample.labels)
+        cond = pipeline.prepare_conditions(sample, k)
+        jax.block_until_ready(cond)
+        pmark("prepare_conditions")
+        latents = sampler.grid_latents[spa, tem]
+        t_idx = sampler.grid_t_idx[spa, tem]
+        windows = sampler._windows_for(task, len(sample.labels))
+        aux = None
+        latents, t_idx, aux = pipeline.sliding_denoise(
+            cond, latents, t_idx, windows, task.domain, aux=aux
+        )
+        jax.block_until_ready(latents)
+        pmark("denoise")
+        sampler.grid_latents = sampler.grid_latents.at[spa, tem].set(latents)
+        sampler.grid_t_idx[spa, tem] = np.asarray(t_idx)
+        sampler._save_task_outputs(task, sample, latents, np.asarray(t_idx))
         jax.block_until_ready(sampler.grid_latents)
+        pmark("decode_save")
         dt = time.perf_counter() - tt
         done = int((sampler.grid_t_idx > 0).sum())
         report["tasks"][task.domain] = {
             "label": task.domain_label, "sec": round(dt, 1),
-            "cells_touched": done,
+            "cells_touched": done, "phases": phases,
         }
         mark(f"{task.domain} task {task.domain_label}: {dt:.1f}s "
-             f"({done} grid cells now in flight)")
+             f"({done} grid cells now in flight) phases={phases}")
 
     tt = time.perf_counter()
     sampler.save_state()
