@@ -9,6 +9,10 @@ torch-CPU as a *golden oracle* for composed end-to-end parity
 symbols below (see pipeline_diffuman4d.py:20-31,
 unet_multiview_condition.py:21-27, unet_multiview_blocks.py:21-27,
 transformer_multiview.py:19-21, attention.py:7-10).
+
+Every known or suspected divergence from real diffusers 0.33.1 is
+catalogued with its safety argument in docs/SHIM_DIVERGENCES.md — read
+that ledger before trusting or extending any module here.
 """
 
 from .models import AutoencoderKL  # noqa: F401

@@ -9,6 +9,9 @@ reference attention.py:76-121) and the VAE mid block.
 AttnAddedKVProcessor/AttnAddedKVProcessor2_0 are imported by the
 reference (unet_multiview_blocks.py:23) but never configured by the
 Diffuman4D model — stubs.
+
+
+Divergences vs real diffusers 0.33.1: see docs/SHIM_DIVERGENCES.md.
 """
 
 from typing import Optional

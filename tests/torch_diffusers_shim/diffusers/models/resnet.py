@@ -6,6 +6,9 @@ stride-2 conv — with asymmetric (0,1,0,1) padding when constructed with
 padding=0 as in the VAE encoder; upsamplers are nearest-2x + conv).
 Consumed by the reference's multiview blocks (unet_multiview_blocks.py:26)
 and the UNet's DownBlock2D/UpBlock2D stages.
+
+
+Divergences vs real diffusers 0.33.1: see docs/SHIM_DIVERGENCES.md.
 """
 
 import math

@@ -10,6 +10,9 @@ deepcopy-able per-instance state (one clone per grid latent, :269).
 ``step`` addresses the schedule BY TIMESTEP VALUE (the pipeline passes
 ``timesteps[timestep_indices][j].item()``); internal step indices are
 recovered by value lookup.
+
+
+Divergences vs real diffusers 0.33.1: see docs/SHIM_DIVERGENCES.md.
 """
 
 import math
