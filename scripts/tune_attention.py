@@ -24,18 +24,58 @@ import os.path as osp
 import time
 
 
-def timed(fn, *args, n=3):
-    def sync(x):
-        import jax.numpy as jnp
+def timed(fn, q, n=10):
+    """Mean seconds per call of ``fn(q)`` executed ``n`` times INSIDE one
+    jitted ``fori_loop`` (iterations chained by a numerically-inert
+    perturbation of q so XLA cannot hoist the body).
 
-        float(x.astype(jnp.float32).sum())
+    In-graph timing is load-bearing, not a nicety: each host->device
+    dispatch through the axon relay costs ~10-35 ms, so an async-dispatch
+    loop (the round-1..3 method) floors every measurement near the relay
+    latency — the model's s<=4096 shapes measured 13-55 TF/s under it but
+    run at 73-96 TF/s in-graph (scripts/attn_ceiling_4k.py, r4), which is
+    what the fully-jitted pipeline actually sees. Ranking candidates by
+    the dispatch-floored numbers was noise at those shapes.
+    """
+    import jax
+    import jax.numpy as jnp
 
-    sync(fn(*args))  # compile
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / n
+    @jax.jit
+    def run(q):
+        def body(_, carry):
+            delta, _ = carry
+            out = fn(q + delta.astype(q.dtype))
+            # scale by 1e-30: forces the data dependence but the delta
+            # vanishes in bf16 addition (and x*1e-30, unlike x*0.0, is
+            # not algebraically simplified away)
+            return (
+                out.reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30),
+                out,
+            )
+
+        # init carry with q itself (same shape/dtype as the attention
+        # output) so exactly n kernel executions are timed, not n+1
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))[1]
+
+    @jax.jit
+    def base(q):  # the perturbation alone, subtracted below
+        def body(_, carry):
+            delta, _ = carry
+            out = q + delta.astype(q.dtype)
+            return (
+                out.reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30),
+                out,
+            )
+
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))[1]
+
+    def clock(f):
+        float(f(q).astype(jnp.float32).sum())  # compile + sync
+        t0 = time.perf_counter()
+        float(f(q).astype(jnp.float32).sum())
+        return (time.perf_counter() - t0) / n
+
+    return max(clock(run) - clock(base), 1e-9)
 
 
 # (name, b, s, h, d) — the model's real attention shapes (SURVEY §3.3):
@@ -101,15 +141,16 @@ def verify(table_path: str) -> int:
         )
         fn = impl_fns[e["impl"]]
         if e["impl"] == "pallas_v5":  # single-KV-pass: no block_k param
-            dt = timed(lambda: fn(q, q, q, block_q=e["block_q"]))
+            dt = timed(lambda qq: fn(qq, q, q, block_q=e["block_q"]), q)
         elif e["impl"] == "pallas_v6":
             dt = timed(
-                lambda: fn(q, q, q, block_q=e["block_q"],
-                           block_b=e.get("block_b", 4))
+                lambda qq: fn(qq, q, q, block_q=e["block_q"],
+                              block_b=e.get("block_b", 4)), q
             )
         else:
             dt = timed(
-                lambda: fn(q, q, q, block_q=e["block_q"], block_k=e["block_k"])
+                lambda qq: fn(qq, q, q, block_q=e["block_q"],
+                              block_k=e["block_k"]), q
             )
         tf = 4 * e["b"] * e["h"] * e["s"] ** 2 * e["d"] / dt / 1e12
         drift = tf / e["tflops"] - 1.0
@@ -185,23 +226,23 @@ def main():
                 if s % bq == 0 and s % bk == 0 and d <= 128:
                     candidates[f"bundled_{bq}x{bk}"] = (
                         "bundled", bq, bk,
-                        lambda bq=bq, bk=bk: flash_attention_bundled(
-                            q, q, q, block_q=bq, block_k=bk
+                        lambda qq, bq=bq, bk=bk: flash_attention_bundled(
+                            qq, q, q, block_q=bq, block_k=bk
                         ),
                     )
         for bq, bk in ((1024, 512), (2048, 512), (512, 512), (1024, 1024)):
             if s % min(bq, s) == 0 and s % min(bk, s) == 0:
                 candidates[f"v1_{bq}x{bk}"] = (
                     "pallas", bq, bk,
-                    lambda bq=bq, bk=bk: flash_attention(
-                        q, q, q, block_q=bq, block_k=bk
+                    lambda qq, bq=bq, bk=bk: flash_attention(
+                        qq, q, q, block_q=bq, block_k=bk
                     ),
                 )
         if s % 2048 == 0:
             candidates["v2_1024x2048x512"] = (
                 "pallas_v2", 1024, 2048,
-                lambda: flash_attention_v2(
-                    q, q, q, block_q=1024, block_k_major=2048, block_k=512
+                lambda qq: flash_attention_v2(
+                    qq, q, q, block_q=1024, block_k_major=2048, block_k=512
                 ),
             )
         for bq, bk in ((2048, 512), (1024, 512), (2048, 1024), (1024, 1024),
@@ -210,14 +251,14 @@ def main():
             if s % min(bq, s) == 0 and s % min(bk, s) == 0 and d <= 128:
                 candidates[f"v3_{bq}x{bk}"] = (
                     "pallas_v3", bq, bk,
-                    lambda bq=bq, bk=bk: flash_attention_v3(
-                        q, q, q, block_q=bq, block_k=bk
+                    lambda qq, bq=bq, bk=bk: flash_attention_v3(
+                        qq, q, q, block_q=bq, block_k=bk
                     ),
                 )
                 candidates[f"v4_{bq}x{bk}"] = (
                     "pallas_v4", bq, bk,
-                    lambda bq=bq, bk=bk: flash_attention_v4(
-                        q, q, q, block_q=bq, block_k=bk
+                    lambda qq, bq=bq, bk=bk: flash_attention_v4(
+                        qq, q, q, block_q=bq, block_k=bk
                     ),
                 )
         # v5 single-KV-pass: whole key sequence in one block; VMEM-bounded
@@ -232,7 +273,7 @@ def main():
             ):
                 candidates[f"v5_{bq}"] = (
                     "pallas_v5", bq, s,
-                    lambda bq=bq: flash_attention_v5(q, q, q, block_q=bq),
+                    lambda qq, bq=bq: flash_attention_v5(qq, q, q, block_q=bq),
                 )
         # v6 = v5 batched over (batch*heads): divides the grid-step count
         # by block_b — targets the 1k-4k-token shapes where per-step fixed
@@ -248,18 +289,18 @@ def main():
                 ):
                     candidates[f"v6_{bq}b{bb}"] = (
                         "pallas_v6", bq, s,
-                        lambda bq=bq, bb=bb: flash_attention_v6(
-                            q, q, q, block_q=bq, block_b=bb
+                        lambda qq, bq=bq, bb=bb: flash_attention_v6(
+                            qq, q, q, block_q=bq, block_b=bb
                         ),
                     )
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
-            candidates["xla"] = ("xla", 0, 0, lambda: _xla_attention(q, q, q))
+            candidates["xla"] = ("xla", 0, 0, lambda qq: _xla_attention(qq, q, q))
 
         best = None
         failed = 0
         for cname, (impl, bq, bk, fn) in candidates.items():
             try:
-                dt = timed(fn)
+                dt = timed(fn, q)
                 tf = flops / dt / 1e12
                 row[cname] = {"ms": round(dt * 1e3, 2), "tflops": round(tf, 1)}
                 if best is None or tf > best[0]:
