@@ -67,10 +67,15 @@ SD_SCHED_BASE = dict(
 )
 
 
-def _torch_models(seed=0):
+def _torch_models(seed=0, pose_encoder=True):
     """Reference-architecture torch UNet + VAE with random weights, the
     zero-init heads perturbed so the temporal/pose paths actually carry
-    signal, and the VAE's logvar pinned to -30."""
+    signal, and the VAE's logvar pinned to -30.
+
+    ``pose_encoder=False`` builds the 15-channel variant the checkpoint
+    config may select (pipeline_diffuman4d.py:230-231,388-395): skeletons
+    are VAE-encoded and concatenated as 4 latent channels instead of
+    injected as pose-encoder features."""
     from src.diffusers.models.unets.unet_multiview_condition import (
         UNetMultiviewConditionModel,
     )
@@ -79,7 +84,7 @@ def _torch_models(seed=0):
     torch.manual_seed(seed)
     unet = UNetMultiviewConditionModel(
         sample_size=IMG // 8,
-        in_channels=11,
+        in_channels=11 if pose_encoder else 15,
         out_channels=4,
         block_out_channels=CH,
         layers_per_block=1,
@@ -89,7 +94,7 @@ def _torch_models(seed=0):
         use_linear_projection=True,
         num_3d_attn_blocks=3,
         enable_tem_embeds=True,
-        enable_pose_encoder=True,
+        enable_pose_encoder=pose_encoder,
     )
     vae = shim.AutoencoderKL(
         in_channels=3,
@@ -106,8 +111,9 @@ def _torch_models(seed=0):
         # exercise the zero-init heads
         unet.temporal_pos_embed.linear_2.weight.normal_(0, 0.2)
         unet.temporal_pos_embed.linear_2.bias.normal_(0, 0.05)
-        unet.pose_encoder.final_proj.weight.normal_(0, 0.1)
-        unet.pose_encoder.final_proj.bias.normal_(0, 0.02)
+        if pose_encoder:
+            unet.pose_encoder.final_proj.weight.normal_(0, 0.1)
+            unet.pose_encoder.final_proj.bias.normal_(0, 0.02)
         # deterministic posterior: logvar == -30 exactly
         vae.quant_conv.weight.copy_(torch.eye(8).reshape(8, 8, 1, 1))
         vae.quant_conv.bias.zero_()
@@ -141,7 +147,8 @@ def _make_torch_pipeline(unet, vae, sched_name):
     return RefPipeline(vae=vae, unet=unet, scheduler=sched)
 
 
-def _make_jax_pipeline(unet_t, vae_t, sched_name, sliding: SlidingConfig):
+def _make_jax_pipeline(unet_t, vae_t, sched_name, sliding: SlidingConfig,
+                       pose_encoder=True):
     sd_u = {k: v.detach().numpy() for k, v in unet_t.state_dict().items()}
     sd_v = {k: v.detach().numpy() for k, v in vae_t.state_dict().items()}
     params = {
@@ -150,12 +157,12 @@ def _make_jax_pipeline(unet_t, vae_t, sched_name, sliding: SlidingConfig):
     }
     params = __import__("jax").tree.map(jnp.asarray, params)
     ucfg = UNetConfig(
-        in_channels=11,
+        in_channels=11 if pose_encoder else 15,
         block_out_channels=CH,
         num_attention_heads=HEADS,
         layers_per_block=1,
         norm_num_groups=GROUPS,
-        enable_pose_encoder=True,
+        enable_pose_encoder=pose_encoder,
         enable_tem_embeds=True,
     )
     vcfg = VAEConfig(block_out_channels=VAE_CH, layers_per_block=1)
@@ -186,7 +193,8 @@ def _inputs(rng, n_inputs, n_targets):
     return pix, skel, plucker_lat, cond_masks, noise
 
 
-def _jax_cond(pipe: JaxPipeline, pix, skel, plucker_lat, cond_masks):
+def _jax_cond(pipe: JaxPipeline, pix, skel, plucker_lat, cond_masks,
+              pose_encoder=True):
     import jax
 
     is_cond = cond_masks[:, 0, 0, 0] == 0
@@ -198,19 +206,29 @@ def _jax_cond(pipe: JaxPipeline, pix, skel, plucker_lat, cond_masks):
     h = IMG // 8
     pix_latents = jnp.zeros((n, h, h, 4), jnp.float32)
     pix_latents = pix_latents.at[jnp.asarray(cond_rows)].set(z)
-    feats, neg = pipe.pose_features(jnp.asarray(skel.transpose(0, 2, 3, 1)))
-    return {
+    cond = {
         "pix_latents": pix_latents,
         "plucker": jnp.asarray(plucker_lat.transpose(0, 2, 3, 1)),
         "is_cond": jnp.asarray(is_cond),
-        "pose_features": feats,
-        "neg_pose_feature": neg,
     }
+    if pose_encoder:
+        feats, neg = pipe.pose_features(jnp.asarray(skel.transpose(0, 2, 3, 1)))
+        cond["pose_features"] = feats
+        cond["neg_pose_feature"] = neg
+    else:
+        # skeletons through the VAE, 4 extra latent channels
+        # (pipeline_diffuman4d.py:233-239); deterministic via the pinned
+        # logvar, same as the pixel path
+        cond["skeleton_latents"] = pipe.encode_images(
+            jnp.asarray(skel.transpose(0, 2, 3, 1)), jax.random.PRNGKey(11)
+        )
+    return cond
 
 
-def _run_both(domain, sched_name, sliding_kw, n_inputs, n_targets, seed=0):
+def _run_both(domain, sched_name, sliding_kw, n_inputs, n_targets, seed=0,
+              pose_encoder=True):
     rng = np.random.default_rng(seed)
-    unet_t, vae_t = _torch_models()
+    unet_t, vae_t = _torch_models(pose_encoder=pose_encoder)
     pix, skel, plucker_lat, cond_masks, noise = _inputs(rng, n_inputs, n_targets)
     S = n_inputs + n_targets
 
@@ -233,13 +251,16 @@ def _run_both(domain, sched_name, sliding_kw, n_inputs, n_targets, seed=0):
     sliding = SlidingConfig(
         window_size=sliding_kw["window_size"],
         sliding_stride=sliding_kw["sliding_stride"],
+        sliding_shift=sliding_kw.get("sliding_shift", 0),
         bidirectional=sliding_kw["bidirectional"],
         num_denoising_steps=sliding_kw["num_denoising_steps"],
         alternation_rounds=1,
         guidance_scale=sliding_kw["guidance_scale"],
     )
-    pipe = _make_jax_pipeline(unet_t, vae_t, sched_name, sliding)
-    cond = _jax_cond(pipe, pix, skel, plucker_lat, cond_masks)
+    pipe = _make_jax_pipeline(unet_t, vae_t, sched_name, sliding,
+                              pose_encoder=pose_encoder)
+    cond = _jax_cond(pipe, pix, skel, plucker_lat, cond_masks,
+                     pose_encoder=pose_encoder)
     latents0 = jnp.asarray(noise.transpose(0, 2, 3, 1)) * pipe.scheduler.init_noise_sigma
     windows = build_windows(
         np.arange(n_inputs, S),
@@ -247,6 +268,7 @@ def _run_both(domain, sched_name, sliding_kw, n_inputs, n_targets, seed=0):
         domain,
         window_size=sliding_kw["window_size"],
         sliding_stride=sliding_kw["sliding_stride"],
+        sliding_shift=sliding_kw.get("sliding_shift", 0),
         bidirectional=sliding_kw["bidirectional"],
     )
     lat, t_idx, _ = pipe.sliding_denoise(
@@ -314,3 +336,121 @@ def test_spatial_multi_denoise_steps():
     )
     np.testing.assert_array_equal(got_tidx, ref_tidx.astype(got_tidx.dtype))
     np.testing.assert_allclose(got_lat, ref_lat, atol=2e-3, rtol=0)
+
+
+def test_pose_encoder_off_e2e_parity():
+    """enable_pose_encoder=False: 15-channel UNet input with skeletons
+    VAE-encoded and channel-concatenated (pipeline_diffuman4d.py:230-239,
+    388-395) — the checkpoint config chooses between this and the
+    pose-encoder path, so both must hold e2e parity."""
+    kw = dict(
+        window_size=2, sliding_stride=1, bidirectional=True,
+        num_denoising_steps=1, guidance_scale=2.0,
+    )
+    ref_lat, got_lat, ref_tidx, got_tidx, ref, pipe, lat = _run_both(
+        "spatial", "ddim", kw, n_inputs=2, n_targets=4, pose_encoder=False
+    )
+    np.testing.assert_array_equal(got_tidx, ref_tidx.astype(got_tidx.dtype))
+    assert np.abs(ref_lat).mean() > 0.05
+    np.testing.assert_allclose(got_lat, ref_lat, atol=2e-3, rtol=0)
+    imgs_ref = ref["images"].numpy()[2:].transpose(0, 2, 3, 1)
+    imgs_got = np.clip(np.asarray(pipe.decode_latents(lat[2:])) * 0.5 + 0.5, 0, 1)
+    np.testing.assert_allclose(imgs_got, imgs_ref, atol=5e-3, rtol=0)
+
+
+def test_sliding_shift_bidirectional():
+    """sliding_shift != 0 rotates the window roll's starting phase
+    (pipeline_diffuman4d.py:507) — the runner varies it across rounds, so
+    the window matrices must match the reference's rolled schedule."""
+    kw = dict(
+        window_size=2, sliding_stride=1, sliding_shift=2, bidirectional=True,
+        num_denoising_steps=1, guidance_scale=2.0,
+    )
+    ref_lat, got_lat, ref_tidx, got_tidx, *_ = _run_both(
+        "spatial", "ddim", kw, n_inputs=2, n_targets=4
+    )
+    np.testing.assert_array_equal(got_tidx, ref_tidx.astype(got_tidx.dtype))
+    assert np.abs(ref_lat).mean() > 0.05
+    np.testing.assert_allclose(got_lat, ref_lat, atol=2e-3, rtol=0)
+
+
+def test_guidance_off_e2e_parity():
+    """guidance_scale=1.0 disables CFG entirely (single forward, no
+    negative batch — pipeline_diffuman4d.py:149-151,380-385): the no-CFG
+    branch must match, not just the doubled-batch one."""
+    kw = dict(
+        window_size=2, sliding_stride=1, bidirectional=True,
+        num_denoising_steps=1, guidance_scale=1.0,
+    )
+    ref_lat, got_lat, ref_tidx, got_tidx, *_ = _run_both(
+        "spatial", "ddim", kw, n_inputs=2, n_targets=4
+    )
+    np.testing.assert_array_equal(got_tidx, ref_tidx.astype(got_tidx.dtype))
+    assert np.abs(ref_lat).mean() > 0.05
+    np.testing.assert_allclose(got_lat, ref_lat, atol=2e-3, rtol=0)
+
+
+def test_alternation_domain_switch():
+    """alternation_rounds=2 with a spatial -> temporal domain switch:
+    latents + timestep_indices carry across rounds (the runner's
+    alternation, sampling_runner.py:45-62), the shared timestep schedule
+    spans both rounds (num_inference_steps = peralt * rounds,
+    pipeline_diffuman4d.py:463-472), and the temporal round consumes the
+    spatial round's half-denoised targets as its starting latents."""
+    rng = np.random.default_rng(3)
+    n = 4  # n_inputs == n_targets so the same rows are valid in both domains
+    unet_t, vae_t = _torch_models()
+    pix, skel, plucker_lat, cond_masks, noise = _inputs(rng, n, n)
+    S = 2 * n
+    kw = dict(
+        window_size=2, sliding_stride=2, bidirectional=True,
+        num_denoising_steps=1, alternation_rounds=2, guidance_scale=2.0,
+    )
+
+    # --- reference: two sequential calls, state carried ----------------
+    ref_pipe = _make_torch_pipeline(unet_t, vae_t, "ddim")
+    t_idx_t = torch.zeros(S, dtype=torch.long)
+    lat_t = torch.from_numpy(noise.copy())
+    with torch.no_grad():
+        for domain in ("spatial", "temporal"):
+            ref = ref_pipe.sliding_iterative_denoise(
+                pixel_values=torch.from_numpy(pix),
+                plucker_embeds=torch.from_numpy(plucker_lat),
+                skeletons=torch.from_numpy(skel),
+                cond_masks=torch.from_numpy(cond_masks),
+                latents=lat_t,
+                domain=domain,
+                timestep_indices=t_idx_t,
+                **kw,
+            )
+            # feed raw (unscaled) latents back in: prepare_all_latents
+            # multiplies by init_noise_sigma only when t_idx == 0 rows are
+            # fresh noise — the reference runner passes grid latents
+            # straight through, and DDIM's init_noise_sigma is 1.0
+            lat_t = ref["latents"]
+            t_idx_t = ref["timestep_indices"]
+
+    # --- JAX: same two rounds through sliding_denoise ------------------
+    sliding = SlidingConfig(
+        window_size=2, sliding_stride=2, bidirectional=True,
+        num_denoising_steps=1, alternation_rounds=2, guidance_scale=2.0,
+    )
+    pipe = _make_jax_pipeline(unet_t, vae_t, "ddim", sliding)
+    cond = _jax_cond(pipe, pix, skel, plucker_lat, cond_masks)
+    lat = jnp.asarray(noise.transpose(0, 2, 3, 1)) * pipe.scheduler.init_noise_sigma
+    t_idx = np.zeros(S, np.int64)
+    for domain in ("spatial", "temporal"):
+        windows = build_windows(
+            np.arange(n, S), np.arange(n), domain,
+            window_size=2, sliding_stride=2, bidirectional=True,
+        )
+        lat, t_idx, _ = pipe.sliding_denoise(cond, lat, t_idx, windows, domain)
+        t_idx = np.asarray(t_idx)
+
+    ref_lat = lat_t.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(t_idx, t_idx_t.numpy().astype(t_idx.dtype))
+    assert t_idx[n:].min() == sliding.total_steps  # both rounds applied
+    assert np.abs(ref_lat[n:]).mean() > 0.05
+    np.testing.assert_allclose(
+        np.asarray(lat)[n:], ref_lat[n:], atol=2e-3, rtol=0
+    )
