@@ -62,7 +62,15 @@ class SlidingIterativeSampler:
         resume: bool = True,
         checkpoint_rounds: bool = True,
         checkpoint_every_tasks: int = 24,
+        task_budget: int | None = None,
     ):
+        # task_budget: stop (cleanly) after this many tasks in THIS
+        # invocation, saving an intra-round grid_state for resume — lets a
+        # long demo_4d run be split across bounded sessions/restarts. The
+        # count is deterministic across hosts (same wave sizes), so every
+        # process takes the stop branch together.
+        self.task_budget = task_budget
+        self._tasks_run = 0
         self.checkpoint_rounds = checkpoint_rounds
         # intra-round checkpoint cadence (0 = rounds only). Task-count
         # based, NOT time-based: every process must take the same branch
@@ -697,20 +705,45 @@ class SlidingIterativeSampler:
                 # intra-round checkpoint every ~checkpoint_every_tasks
                 # tasks (wave-count cadence: deterministic across hosts)
                 done = i + n_real
+                self._tasks_run += n_real
+                budget_out = (
+                    self.task_budget is not None
+                    and self._tasks_run >= self.task_budget
+                )
                 if (
                     self.checkpoint_rounds
                     and self.checkpoint_every_tasks > 0
                     and done < len(tasks)
-                    and (w_num + 1)
-                    % max(1, -(-self.checkpoint_every_tasks // n_wave))
-                    == 0
+                    and (
+                        budget_out
+                        or (w_num + 1)
+                        % max(1, -(-self.checkpoint_every_tasks // n_wave))
+                        == 0
+                    )
                 ):
                     with phase("wave/save_state", sync=False):
                         self.save_state(tasks_done=done)
+                if budget_out and done < len(tasks):
+                    log.info(
+                        "task budget (%d) reached at round %d task %d/%d — "
+                        "state saved, stopping for resume",
+                        self.task_budget, round_idx + 1, done, len(tasks),
+                    )
+                    return
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
+            if (
+                self.task_budget is not None
+                and self._tasks_run >= self.task_budget
+                and round_idx + 1 < len(self.all_tasks)
+            ):
+                log.info(
+                    "task budget (%d) reached at round %d boundary — "
+                    "stopping for resume", self.task_budget, round_idx + 1,
+                )
+                return
         if multi:
             # Each process saved only its own tasks' outputs, and processes
             # finish their last wave at different times — a lone file count
@@ -795,6 +828,11 @@ class SlidingIterativeSampler:
                     task, self._task_key(round_idx, task_idx), sample=sample
                 )
                 done = task_idx + 1
+                self._tasks_run += 1
+                budget_out = (
+                    self.task_budget is not None
+                    and self._tasks_run >= self.task_budget
+                )
                 if done == len(self.all_tasks[round_idx]):
                     self._completed_rounds = round_idx + 1
                     self.validate_grid(self._completed_rounds)
@@ -803,9 +841,19 @@ class SlidingIterativeSampler:
                 elif (
                     self.checkpoint_rounds
                     and self.checkpoint_every_tasks > 0
-                    and done % self.checkpoint_every_tasks == 0
+                    and (budget_out or done % self.checkpoint_every_tasks == 0)
                 ):
                     self.save_state(tasks_done=done)
+                if budget_out and (round_idx, done) != (
+                    len(self.all_tasks) - 1, len(self.all_tasks[-1])
+                ):
+                    log.info(
+                        "task budget (%d) reached at round %d task %d/%d — "
+                        "state saved, stopping for resume",
+                        self.task_budget, round_idx + 1, done,
+                        len(self.all_tasks[round_idx]),
+                    )
+                    return
         finally:
             prefetch.shutdown(wait=False, cancel_futures=True)
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):

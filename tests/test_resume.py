@@ -174,3 +174,64 @@ def test_intra_round_resume(setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(ref.grid_latents), np.asarray(resumed2.grid_latents), atol=2e-5
     )
+
+
+def test_task_budget_stop_and_resume(setup, tmp_path):
+    """task_budget stops cleanly with an intra-round checkpoint; a chain
+    of budgeted invocations (deliberate restarts, scripts/demo4d_prefix.py)
+    reproduces an uninterrupted run bit-for-bit."""
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    dataset, pipeline = setup
+    ref = _make_sampler(dataset, pipeline, tmp_path / "full_tb")
+    ref.execute_tasks()
+    total = sum(len(r) for r in ref.all_tasks)
+
+    out = tmp_path / "run_tb"
+
+    def budgeted(n):
+        return SlidingIterativeSampler(
+            dataset, pipeline, output_dir=str(out),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+            input_spa_labels=[0, 3], task_budget=n,
+        )
+
+    s = budgeted(1)  # stops mid-round 1
+    s.execute_tasks()
+    assert s._tasks_run == 1
+    del s
+
+    s = budgeted(2)  # resumes at task 2, crosses the round boundary
+    assert s._resume_tasks_done == 1
+    s.execute_tasks()
+    del s
+
+    s = budgeted(total)  # finishes the schedule
+    s.execute_tasks()
+
+    np.testing.assert_array_equal(ref.grid_t_idx, s.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(s.grid_latents), atol=1e-5
+    )
+
+    # wave path: budget of 1 wave's worth stops with state saved
+    out2 = tmp_path / "run_tb_par"
+    from diffuman4d_tpu.parallel.mesh import make_mesh
+
+    s2 = SlidingIterativeSampler(
+        dataset, pipeline, output_dir=str(out2),
+        spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+        input_spa_labels=[0, 3], task_budget=1,
+    )
+    s2.execute_tasks_parallel(make_mesh(data=1, model=1))
+    assert s2._tasks_run >= 1
+    s3 = SlidingIterativeSampler(
+        dataset, pipeline, output_dir=str(out2),
+        spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+        input_spa_labels=[0, 3],
+    )
+    s3.execute_tasks_parallel(make_mesh(data=1, model=1))
+    np.testing.assert_array_equal(ref.grid_t_idx, s3.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(s3.grid_latents), atol=2e-5
+    )
