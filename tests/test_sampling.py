@@ -308,3 +308,55 @@ class TestWindowChunking:
         lat_chunk, ti_chunk = run(1, tmp_path / "chunk1")
         np.testing.assert_array_equal(ti_mono, ti_chunk)
         np.testing.assert_allclose(lat_mono, lat_chunk, atol=1e-6)
+
+
+class TestPoseFeatureResidency:
+    """pose_cache_mb gates whole-task materialization vs per-window-chunk
+    streaming; both must produce identical grids (the encoder is
+    deterministic, so chunk-local recompute == precompute bit-for-bit
+    up to float addition order, here exactly: same micro-batches)."""
+
+    def _run(self, tiny_setup, tmp_path, tag, **pipe_kw):
+        from diffuman4d_tpu.sampling.pipeline import (
+            Diffuman4DPipeline,
+            SlidingConfig,
+        )
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+        from diffuman4d_tpu.schedulers.diffusion import (
+            Scheduler,
+            SchedulerConfig,
+        )
+
+        dataset, make_pipeline, _ = tiny_setup
+        sliding = SlidingConfig(
+            window_size=2, sliding_stride=1, bidirectional=False,
+            num_denoising_steps=1, alternation_rounds=2, guidance_scale=2.0,
+        )
+        base = make_pipeline(sliding)
+        pipe = Diffuman4DPipeline(
+            base.unet, base.vae, Scheduler(SchedulerConfig(kind="ddim")),
+            base.params, sliding=sliding, image_size=64, vae_batch=4,
+            **pipe_kw,
+        )
+        sampler = SlidingIterativeSampler(
+            dataset, pipe, output_dir=str(tmp_path / tag),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 4, 1),
+            input_spa_labels=[0, 3],
+        )
+        sampler.execute_tasks()
+        return sampler
+
+    def test_stream_matches_materialize(self, tiny_setup, tmp_path):
+        import numpy as np
+
+        mat = self._run(tiny_setup, tmp_path, "mat")  # default: fits budget
+        assert len(mat.pipeline._pose_cache) > 0  # materialize path taken
+
+        strm = self._run(tiny_setup, tmp_path, "strm", pose_cache_mb=0)
+        assert len(strm.pipeline._pose_cache) == 0  # streaming path taken
+
+        np.testing.assert_array_equal(mat.grid_t_idx, strm.grid_t_idx)
+        np.testing.assert_allclose(
+            np.asarray(mat.grid_latents), np.asarray(strm.grid_latents),
+            atol=1e-5,
+        )
