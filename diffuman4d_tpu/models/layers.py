@@ -13,13 +13,29 @@ Parameter names deliberately track the diffusers checkpoint layout
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from diffuman4d_tpu.ops.attention import dot_product_attention
 from diffuman4d_tpu.ops.resize import upsample_nearest_2x
+
+
+def _use_pallas_conv(shape, cout: int) -> bool:
+    """Static gate for the fused Pallas conv path (ops/conv.py): measured
+    2x over XLA at the VAE decoder's large-spatial shapes on v5e
+    (scripts/profile_vae_conv.py). D4D_PALLAS_CONV=0 disables."""
+    flag = os.environ.get("D4D_PALLAS_CONV", "1")
+    if flag == "0":
+        return False
+    if flag != "force" and jax.default_backend() != "tpu":
+        return False
+    from diffuman4d_tpu.ops.conv import pallas_conv3x3_ok
+
+    return pallas_conv3x3_ok(shape, cout)
 
 
 def timestep_sinusoidal(
@@ -160,9 +176,23 @@ class ResnetBlock2D(nn.Module):
         self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, name="norm1")(x)
+        norm1 = GroupNorm(self.groups, self.eps, name="norm1")
+        conv1 = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )
+        norm2 = GroupNorm(self.groups, self.eps, name="norm2")
+        conv2 = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )
+
+        if _use_pallas_conv(x.shape, self.out_channels) and _use_pallas_conv(
+            x.shape[:3] + (self.out_channels,), self.out_channels
+        ):
+            return self._fused(x, temb, norm1, conv1, norm2, conv2)
+
+        h = norm1(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = conv1(h)
 
         if self.use_temb and temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -170,15 +200,65 @@ class ResnetBlock2D(nn.Module):
             )
             h = h + temb_proj[:, None, None, :]
 
-        h = GroupNorm(self.groups, self.eps, name="norm2")(h)
+        h = norm2(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = conv2(h)
 
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
             )(x)
         return x + h
+
+    def _fused(self, x, temb, norm1, conv1, norm2, conv2):
+        """GN -> silu -> conv chains via the fused Pallas conv
+        (ops/conv.py): GroupNorm folds to a per-(batch,channel) affine
+        prologue and the skip-add rides conv2's epilogue, so the only
+        full-tensor passes are two stats reductions and two convs.
+        Submodules are invoked on tiny slices solely to materialize their
+        parameters under the standard names (identical checkpoint tree)."""
+        from diffuman4d_tpu.ops.conv import conv3x3, groupnorm_affine
+
+        in_channels = x.shape[-1]
+        tiny = x[:1, :2, :2, :]
+        _ = norm1(tiny)
+        _ = conv1(tiny)
+        gcount = math.gcd(self.groups, in_channels)
+
+        def gn_params(mod):
+            p = mod.variables["params"]["GroupNorm_0"]
+            return p["scale"], p["bias"]
+
+        def conv_params(mod):
+            p = mod.variables["params"]
+            return p["kernel"], p["bias"]
+
+        g1, b1 = gn_params(norm1)
+        k1, c1 = conv_params(conv1)
+        s1, sh1 = groupnorm_affine(x, g1, b1, gcount, self.eps)
+        h = conv3x3(x, k1.astype(self.dtype), c1, s1, sh1, silu=True)
+
+        if self.use_temb and temb is not None:
+            temb_proj = nn.Dense(
+                self.out_channels, dtype=self.dtype, name="time_emb_proj"
+            )(nn.silu(temb))
+            h = h + temb_proj[:, None, None, :]
+
+        _ = norm2(h[:1, :2, :2, :])
+        _ = conv2(h[:1, :2, :2, :])
+        g2, b2 = gn_params(norm2)
+        k2, c2 = conv_params(conv2)
+        gcount2 = math.gcd(self.groups, self.out_channels)
+
+        res = x
+        if in_channels != self.out_channels:
+            res = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        s2, sh2 = groupnorm_affine(h, g2, b2, gcount2, self.eps)
+        return conv3x3(
+            h, k2.astype(self.dtype), c2, s2, sh2, residual=res, silu=True
+        )
 
 
 class Downsample2D(nn.Module):
@@ -203,4 +283,13 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = upsample_nearest_2x(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        conv = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )
+        if _use_pallas_conv(x.shape, self.out_channels):
+            from diffuman4d_tpu.ops.conv import conv3x3
+
+            _ = conv(x[:1, :2, :2, :])
+            p = conv.variables["params"]
+            return conv3x3(x, p["kernel"].astype(self.dtype), p["bias"])
+        return conv(x)

@@ -103,17 +103,20 @@ def main() -> None:
             lambda q, gp=gp, gn=gn: gn.apply(gp, q), x,
             0.0, 2 * act_bytes)
 
-    # transformer matmuls at stage widths: tokens = B*res^2 per 2D frame
+    # transformer FF (up+down pair — shape-preserving so the in-graph
+    # fori_loop timer can chain iterations) at stage widths
     for res, ch in stages[:3]:
         tok = B * res * res
         x = jax.random.normal(jax.random.PRNGKey(2), (tok, ch), jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(3), (ch, 4 * ch), jnp.bfloat16)
+        w2 = jax.random.normal(jax.random.PRNGKey(5), (4 * ch, ch), jnp.bfloat16)
 
-        def ff(q, w=w):
-            return q @ w
+        def ff(q, w=w, w2=w2):
+            return (q @ w) @ w2
 
-        run(f"ff_matmul {tok}x{ch}x{4 * ch}", ff, x,
-            2.0 * tok * ch * 4 * ch, (x.size + w.size + tok * 4 * ch) * 2)
+        run(f"ff_updown {tok}x{ch}x{4 * ch}", ff, x,
+            2.0 * tok * ch * 4 * ch * 2,
+            (x.size * 2 + w.size + w2.size + tok * 4 * ch) * 2)
 
     # ---- VAE decoder stages at 1024^2 (batch 4 = vae_batch) ------------
     vb = 4
@@ -141,9 +144,15 @@ def main() -> None:
                           jnp.bfloat16)
     up = Upsample2D(256, dtype=jnp.bfloat16)
     upp = up.init(jax.random.PRNGKey(0), x)
-    run("vae_upsample 512->1024x256",
-        lambda q, upp=upp, up=up: up.apply(upp, q), x,
-        2.0 * vb * 1024 * 1024 * 9 * 256 * 256, 10 * x.size * 2)
+
+    def up_and_pool(q, upp=upp, up=up):
+        # pool back to the input shape so the fori_loop timer can chain;
+        # the pool adds ~1 read+write of the 1024^2 tensor (counted).
+        y = up.apply(upp, q)
+        return y.reshape(vb, 512, 2, 512, 2, 256).mean(axis=(2, 4))
+
+    run("vae_upsample 512->1024x256", up_and_pool, x,
+        2.0 * vb * 1024 * 1024 * 9 * 256 * 256, 18 * x.size * 2)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
