@@ -72,6 +72,7 @@ class SpaTemDataset:
         height: int = 1024,
         width: int = 1024,
         has_gt_target: bool = True,
+        target_pixels: bool = True,
         io_workers: int = 8,
         cache_frames: bool = True,
         frame_cache_mb: int = 16384,
@@ -85,6 +86,14 @@ class SpaTemDataset:
         self.height = height
         self.width = width
         self.has_gt_target = has_gt_target
+        # target_pixels=False skips decoding target-view IMAGES (generation
+        # never consumes them — only cond rows are VAE-encoded and only
+        # input rows are saved; pipeline.py:446-476, sampler.py:399-407):
+        # target rows return zero pixels while keeping the real fmask-derived
+        # crop and the skeleton, so generated outputs are bit-identical to
+        # target_pixels=True. Cold first-task load drops ~4s/48 frames.
+        # Keep True for debug grids / training / metrics-over-sample paths.
+        self.target_pixels = target_pixels
         # IO threads beyond the core count are poison on small hosts: numpy
         # releases the GIL, so N threads allocating multi-MB buffers on one
         # core turn into a kernel mmap/page-fault storm (observed ~96%
@@ -167,14 +176,19 @@ class SpaTemDataset:
             return np.asarray(Image.open(path))
 
         skeleton_raw = _decode(skeleton_path)
+        skip_pixel = not self.target_pixels and spa not in input_spa_labels
         if not self.has_gt_target and spa not in input_spa_labels:
             # no GT for targets: skeleton stands in for image; pseudo-mask
             # from the skeleton bbox (spatem_dataset.py:124-127)
             image_raw = skeleton_raw
             fmask_arr = skeleton_to_mask(to_float(skeleton_raw))[..., None]
         else:
-            image_raw = _decode(self.get_file_path(self.image_path_pat, scene, spa, tem))
             fmask_raw = _decode(self.get_file_path(self.fmask_path_pat, scene, spa, tem))
+            image_raw = (
+                skeleton_raw
+                if skip_pixel
+                else _decode(self.get_file_path(self.image_path_pat, scene, spa, tem))
+            )
             if not (image_raw.shape[:2] == fmask_raw.shape[:2] == skeleton_raw.shape[:2]):
                 raise AssertionError(
                     f"image size {image_raw.shape} != fmask {fmask_raw.shape} "
@@ -202,7 +216,9 @@ class SpaTemDataset:
                 a if a.ndim == 3 and a.shape[-1] == 3
                 else np.repeat(a.reshape(a.shape[0], a.shape[1], 1)[..., :1], 3, -1)
             )
-            image_u8 = native.crop_resize(to_rgb(image_raw), crop, h, w)
+            image_u8 = None if skip_pixel else native.crop_resize(
+                to_rgb(image_raw), crop, h, w
+            )
             skeleton_u8 = native.crop_resize(to_rgb(skeleton_raw), crop, h, w)
             fmask_u8 = (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
             fm_u8 = native.crop_resize(fmask_u8[..., None], crop, h, w)
@@ -210,7 +226,11 @@ class SpaTemDataset:
                 # u8 -> fp32 vae norm + white compositing in one native
                 # pass (bit-parity with the numpy chain below, which costs
                 # ~250 MB of temporaries per frame vs ~16 MB here)
-                pixel = native.composite_white_vae(image_u8, fm_u8)
+                pixel = (
+                    np.zeros((h, w, 3), np.float32)
+                    if skip_pixel
+                    else native.composite_white_vae(image_u8, fm_u8)
+                )
                 skeleton = native.u8_to_vae(skeleton_u8)
                 K = transform_intrinsic_for_crop(camera.K, crop, h)
                 for name, arr in (("pixel_values", pixel),
@@ -228,13 +248,15 @@ class SpaTemDataset:
                     "hw": (camera.height, camera.width),
                     "crop": crop,
                 }
-            image = norm_vae(to_float(image_u8))
+            image = None if skip_pixel else norm_vae(to_float(image_u8))
             skeleton = norm_vae(to_float(skeleton_u8))
             fmask = norm_vae(to_float(fm_u8))
         else:
             image_img = Image.fromarray(image_raw) if isinstance(image_raw, np.ndarray) else image_raw
             skeleton_img = Image.fromarray(skeleton_raw) if isinstance(skeleton_raw, np.ndarray) else skeleton_raw
-            image = norm_vae(to_float(crop_resize(image_img.convert("RGB"), crop, h, w)))
+            image = None if skip_pixel else norm_vae(
+                to_float(crop_resize(image_img.convert("RGB"), crop, h, w))
+            )
             fmask = norm_vae(
                 to_float(crop_resize(Image.fromarray(
                     (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
@@ -243,7 +265,11 @@ class SpaTemDataset:
             skeleton = norm_vae(to_float(crop_resize(skeleton_img.convert("RGB"), crop, h, w)))
         K = transform_intrinsic_for_crop(camera.K, crop, h)
 
-        pixel = apply_fmask(image, fmask, "white", vae_normalized=True)
+        pixel = (
+            np.zeros((h, w, 3), np.float32)
+            if skip_pixel
+            else apply_fmask(image, fmask, "white", vae_normalized=True)
+        )
         # range invariant (spatem_dataset.py:191-228) checked per frame at
         # load time: cache hits skip the re-scan, and get_item avoids
         # whole-batch reductions over hundreds of MB (slow on this host)

@@ -81,6 +81,11 @@ class SlidingIterativeSampler:
         self.pipeline = pipeline
         self.output_dir = output_dir
         self.seed = seed
+        if save_debug_grids and not getattr(dataset, "target_pixels", True):
+            raise ValueError(
+                "save_debug_grids needs GT target pixels; construct the "
+                "dataset with target_pixels=True"
+            )
         self.save_debug_grids = save_debug_grids
         cfg = pipeline.sliding
 

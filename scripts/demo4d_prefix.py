@@ -79,6 +79,7 @@ def main() -> None:
     dataset = SpaTemDataset(
         data_dir=args.scene, scene_label="0811_06",
         height=args.size, width=args.size,
+        target_pixels=False,  # generation never reads target images
     )
     pipeline = Diffuman4DPipeline(
         unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,

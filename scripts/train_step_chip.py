@@ -44,6 +44,11 @@ def main():
     # adafactor: Adam's fp32 p+g+m+v is 13.9 GB for 0.87B params — more
     # than one v5e's HBM before activations; pods shard Adam over dp
     ap.add_argument("--optimizer", default="adafactor")
+    ap.add_argument("--ema", action="store_true",
+                    help="enable the fp32 EMA shadow (+3.5 GB at 0.87B) — "
+                    "the memory-fit proof VERDICT r3 asked for")
+    ap.add_argument("--out", default="TRAIN_r04.json",
+                    help="also write the JSON record here ('' to skip)")
     args = ap.parse_args()
 
     from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
@@ -75,7 +80,8 @@ def main():
     print(f"init: {n_params/1e9:.3f}B params, {time.perf_counter()-t0:.1f}s",
           flush=True)
 
-    tcfg = TrainConfig(learning_rate=1e-5, remat=True, ema_decay=0.0,
+    tcfg = TrainConfig(learning_rate=1e-5, remat=True,
+                       ema_decay=0.999 if args.ema else 0.0,
                        optimizer=args.optimizer)
     state = create_train_state(params, tcfg)
     step = jax.jit(make_train_step(unet, Scheduler(SchedulerConfig()), tcfg),
@@ -113,19 +119,38 @@ def main():
     used, peak = hbm_gb()
     step_s = min(times)
 
-    # FLOP estimate: ~3x forward cost; forward approx 2 TFLOP per frame
-    # window step is model-dependent, report raw time + HBM as primary
-    print(json.dumps({
+    # MFU from the compiler's own cost model (AOT cost analysis of the
+    # exact executable, remat recompute included), against the v5e bf16
+    # peak of 197 TF/s.
+    flops = None
+    mfu = None
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / step_s / 197e12
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", flush=True)
+
+    record = {
         "metric": "train_step_sec",
         "value": round(step_s, 3),
-        "unit": f"sec/step, 0.87B UNet bf16 remat, {args.optimizer}, batch {B}x{L}@128^2 latents",
+        "unit": f"sec/step, 0.87B UNet bf16 remat, {args.optimizer}"
+        f"{'+ema' if args.ema else ''}, batch {B}x{L}@128^2 latents",
         "params_b": round(n_params / 1e9, 3),
         "loss": loss,
         "compile_s": round(compile_s, 1),
         "hbm_used_gb": used,
         "hbm_peak_gb": peak,
         "all_steps_s": [round(t, 3) for t in times],
-    }), flush=True)
+        "cost_model_tflop_per_step": round(flops / 1e12, 1) if flops else None,
+        "mfu_vs_197tf_bf16": round(mfu, 3) if mfu else None,
+    }
+    print(json.dumps(record), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -248,6 +248,56 @@ class TestEndToEnd:
         sampler.execute_one_task(sampler.all_tasks[0][0], jax.random.PRNGKey(0))
         assert (sampler.grid_t_idx[[1, 2, 4, 5], 0] == sliding.steps_per_alt).all()
 
+    def test_target_pixels_false_parity(self, tiny_setup, tmp_path):
+        """target_pixels=False skips target-image decode: zero pixels on
+        target rows, everything generation consumes bit-identical."""
+        import numpy as np
+
+        from diffuman4d_tpu.data.dataset import SpaTemDataset
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        ds2 = SpaTemDataset(
+            data_dir=dataset.data_dir, scene_label="scene0",
+            height=64, width=64, target_pixels=False,
+        )
+        kw = dict(
+            scene_label="scene0",
+            spa_labels=[f"{i:02d}" for i in range(6)],
+            tem_labels=["000000"],
+            input_spa_labels=["00", "03"],
+        )
+        a = dataset.get_item(**kw)
+        b = ds2.get_item(**kw)
+        inp = np.nonzero(a.cond_masks == 0.0)[0]
+        tgt = np.nonzero(a.cond_masks != 0.0)[0]
+        np.testing.assert_array_equal(
+            b.pixel_values[inp], a.pixel_values[inp]
+        )
+        assert (b.pixel_values[tgt] == 0).all()
+        np.testing.assert_array_equal(b.skeletons, a.skeletons)
+        np.testing.assert_array_equal(b.Ks, a.Ks)
+        np.testing.assert_array_equal(b.poses, a.poses)
+        assert b.crops == a.crops
+
+        import jax as _jax
+
+        pipe = make_pipeline(SlidingConfig(window_size=2, alternation_rounds=1))
+        ca = pipe.prepare_conditions(a, _jax.random.PRNGKey(0))
+        pipe.clear_condition_caches()
+        cb = pipe.prepare_conditions(b, _jax.random.PRNGKey(0))
+        for k in ca:
+            la, lb = _jax.tree.leaves(ca[k]), _jax.tree.leaves(cb[k])
+            for xa, xb in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+        with pytest.raises(ValueError, match="target_pixels"):
+            SlidingIterativeSampler(
+                ds2, pipe, output_dir=str(tmp_path / "g"),
+                spa_label_range=(0, 6, 1), tem_label_range=(0, 1, 1),
+                input_spa_labels=[0, 3], save_debug_grids=True,
+            )
+
     def test_explicit_label_lists(self, tiny_setup, tmp_path):
         # spa_labels/tem_labels given as explicit lists instead of ranges
         # (sliding_iterative_sampler.py:49-63)
