@@ -928,4 +928,15 @@ class Diffuman4DPipeline:
             except Exception:  # noqa: BLE001 — backend may not support it
                 pass
             chunks.append((u8, m))
-        return np.concatenate([np.asarray(u8)[:m] for u8, m in chunks])
+        # preallocate + per-chunk copy: np.concatenate's fresh 100+ MB
+        # allocation first-touch-faults at 22-74 MB/s on this host
+        # (CLAUDE.md); the tuned allocator + incremental writes don't
+        n = sum(m for _, m in chunks)
+        first = np.asarray(chunks[0][0])
+        out = np.empty((n,) + first.shape[1:], first.dtype)
+        pos = 0
+        for i, (u8, m) in enumerate(chunks):
+            arr = first if i == 0 else np.asarray(u8)
+            out[pos : pos + m] = arr[:m]
+            pos += m
+        return out
