@@ -196,7 +196,7 @@ def main() -> None:
     # — outputs are bit-identical, cold first-task load drops ~4s
     dataset = SpaTemDataset(
         data_dir=scene_dir, scene_label="scene", height=size, width=size,
-        target_pixels=False,
+        target_pixels=False, skeletons_uint8=True,
     )
     sliding = SlidingConfig(
         window_size=12,

@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         height=cfg.data.height,
         width=cfg.data.width,
         has_gt_target=cfg.data.has_gt_target,
+        # generation consumes skeletons as u8 on device either way
+        # (pipeline._skel_norm_j); skip the host fp round-trip
+        skeletons_uint8=True,
     )
     pipeline = load_pipeline(cfg.model, cfg.sampler, cfg.data)
     sampler = SlidingIterativeSampler(

@@ -51,7 +51,8 @@ class Sample:
     domain: str  # "spatial" | "temporal"
     labels: list[tuple[str, str, str]]  # (scene, spa, tem) per frame
     pixel_values: np.ndarray  # (N, H, W, 3) in [-1, 1], white background
-    skeletons: np.ndarray  # (N, H, W, 3) in [-1, 1]
+    skeletons: np.ndarray  # (N, H, W, 3): fp32 in [-1, 1], or uint8 when
+    # the dataset runs with ``skeletons_uint8=True`` (u8/127.5-1 == fp path)
     cond_masks: np.ndarray  # (N,) float32: 1 = target, 0 = input
     Ks: np.ndarray  # (N, 3, 3) crop-adjusted intrinsics
     poses: np.ndarray  # (N, 4, 4) relative to frame 0
@@ -76,6 +77,7 @@ class SpaTemDataset:
         io_workers: int = 8,
         cache_frames: bool = True,
         frame_cache_mb: int = 16384,
+        skeletons_uint8: bool = False,
     ):
         self.data_dir = osp.expandvars(data_dir)
         self.camera_path_pat = camera_path_pat
@@ -94,6 +96,16 @@ class SpaTemDataset:
         # target_pixels=True. Cold first-task load drops ~4s/48 frames.
         # Keep True for debug grids / training / metrics-over-sample paths.
         self.target_pixels = target_pixels
+        # skeletons_uint8=True keeps Sample.skeletons as the crop-resized
+        # uint8 maps; the [-1,1] normalization (u8/127.5-1) happens on
+        # device (pipeline._skel_norm_j). Bit-identical to the fp path:
+        # the fp chain u8 -> fp32 -> fp16 cache -> rint((x+1)*127.5) is an
+        # exact u8 round-trip (fp16 error < 0.5/127.5), and both paths end
+        # in the same device-side normalize. Skips ~4 fp passes over
+        # ~600 MB per cold 48-frame task and halves skeleton cache bytes.
+        # Leave False when a consumer needs fp skeletons on host (training
+        # batcher; metrics over Sample fields).
+        self.skeletons_uint8 = skeletons_uint8
         # IO threads beyond the core count are poison on small hosts: numpy
         # releases the GIL, so N threads allocating multi-MB buffers on one
         # core turn into a kernel mmap/page-fault storm (observed ~96%
@@ -154,7 +166,8 @@ class SpaTemDataset:
             return hit
         f = self._load_frame(label, input_spa_labels)
         f["pixel"] = f["pixel"].astype(np.float16)
-        f["skeleton"] = f["skeleton"].astype(np.float16)
+        if f["skeleton"].dtype != np.uint8:  # u8 mode caches u8 directly
+            f["skeleton"] = f["skeleton"].astype(np.float16)
         nbytes = f["pixel"].nbytes + f["skeleton"].nbytes
         if self._frame_cache_bytes + nbytes <= self._frame_cache_budget:
             self._frame_cache[key] = f
@@ -231,10 +244,15 @@ class SpaTemDataset:
                     if skip_pixel
                     else native.composite_white_vae(image_u8, fm_u8)
                 )
-                skeleton = native.u8_to_vae(skeleton_u8)
+                skeleton = (
+                    skeleton_u8 if self.skeletons_uint8
+                    else native.u8_to_vae(skeleton_u8)
+                )
                 K = transform_intrinsic_for_crop(camera.K, crop, h)
-                for name, arr in (("pixel_values", pixel),
-                                  ("skeletons", skeleton)):
+                checks = [("pixel_values", pixel)]
+                if not self.skeletons_uint8:  # u8 is in range by type
+                    checks.append(("skeletons", skeleton))
+                for name, arr in checks:
                     if arr.min() < -1.0 - 1e-6 or arr.max() > 1.0 + 1e-6:
                         raise ValueError(
                             f"{name} out of [-1, 1] for {label}: "
@@ -249,7 +267,10 @@ class SpaTemDataset:
                     "crop": crop,
                 }
             image = None if skip_pixel else norm_vae(to_float(image_u8))
-            skeleton = norm_vae(to_float(skeleton_u8))
+            skeleton = (
+                skeleton_u8 if self.skeletons_uint8
+                else norm_vae(to_float(skeleton_u8))
+            )
             fmask = norm_vae(to_float(fm_u8))
         else:
             image_img = Image.fromarray(image_raw) if isinstance(image_raw, np.ndarray) else image_raw
@@ -262,7 +283,12 @@ class SpaTemDataset:
                     (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
                 ), crop, h, w))
             )
-            skeleton = norm_vae(to_float(crop_resize(skeleton_img.convert("RGB"), crop, h, w)))
+            skel_rs = np.asarray(
+                crop_resize(skeleton_img.convert("RGB"), crop, h, w)
+            )
+            skeleton = (
+                skel_rs if self.skeletons_uint8 else norm_vae(to_float(skel_rs))
+            )
         K = transform_intrinsic_for_crop(camera.K, crop, h)
 
         pixel = (
@@ -273,7 +299,10 @@ class SpaTemDataset:
         # range invariant (spatem_dataset.py:191-228) checked per frame at
         # load time: cache hits skip the re-scan, and get_item avoids
         # whole-batch reductions over hundreds of MB (slow on this host)
-        for name, arr in (("pixel_values", pixel), ("skeletons", skeleton)):
+        range_checks = [("pixel_values", pixel)]
+        if not self.skeletons_uint8:
+            range_checks.append(("skeletons", skeleton))
+        for name, arr in range_checks:
             if arr.min() < -1.0 - 1e-6 or arr.max() > 1.0 + 1e-6:
                 raise ValueError(
                     f"{name} out of [-1, 1] for {label}: "
@@ -281,7 +310,8 @@ class SpaTemDataset:
                 )
         return {
             "pixel": pixel.astype(np.float32),
-            "skeleton": skeleton.astype(np.float32),
+            "skeleton": skeleton if self.skeletons_uint8
+            else skeleton.astype(np.float32),
             "K": K,
             "pose": camera.pose,
             "hw": (camera.height, camera.width),

@@ -39,6 +39,18 @@ from diffuman4d_tpu.schedulers.diffusion import Scheduler
 from diffuman4d_tpu.sampling.windows import step_counts
 
 
+def _skel_u8(sk: np.ndarray) -> np.ndarray:
+    """Skeleton row -> uint8 wire format. Identity for datasets running
+    ``skeletons_uint8=True``; the [-1,1] fp path re-quantizes (exact
+    round-trip of the original u8 — see SpaTemDataset.skeletons_uint8)."""
+    sk = np.asarray(sk)
+    if sk.dtype == np.uint8:
+        return sk
+    return np.clip(
+        np.rint((sk.astype(np.float32) + 1.0) * 127.5), 0, 255
+    ).astype(np.uint8)
+
+
 @dataclass(frozen=True)
 class SlidingConfig:
     """Sliding-denoise parameters (configs/sampler/*.yaml)."""
@@ -379,10 +391,7 @@ class Diffuman4DPipeline:
             lb = labels[i]
             a = self._skel_cache.value(lb)
             if a is None:
-                sk = np.asarray(skeletons[i], np.float32)
-                u8 = np.clip(np.rint((sk + 1.0) * 127.5), 0, 255).astype(
-                    np.uint8
-                )
+                u8 = _skel_u8(skeletons[i])
                 a = jnp.asarray(u8)
                 self._skel_cache.put(lb, a, u8.nbytes)
             rows.append(a)
@@ -495,24 +504,15 @@ class Diffuman4DPipeline:
                 cond["pose_features"] = self._pose_features_lru(sample)
             elif fits:
                 cond["pose_features"] = self._pose_from_skel(
-                    self._h2d(sample.skeletons).astype(dtype)
+                    self._skel_norm_j(jnp.asarray(sample.skeletons))
+                    if sample.skeletons.dtype == np.uint8
+                    else self._h2d(sample.skeletons).astype(dtype)
                 )
             else:
                 rows = (
                     self._skel_rows(sample)
                     if use_cache
-                    else [
-                        jnp.asarray(
-                            np.clip(
-                                np.rint(
-                                    (np.asarray(sk, np.float32) + 1.0) * 127.5
-                                ),
-                                0,
-                                255,
-                            ).astype(np.uint8)
-                        )
-                        for sk in sample.skeletons
-                    ]
+                    else [jnp.asarray(_skel_u8(sk)) for sk in sample.skeletons]
                 )
                 if stacked_skel:
                     cond["skel_u8"] = jnp.stack(rows)
@@ -523,10 +523,12 @@ class Diffuman4DPipeline:
             )
         else:
             k_sk, key = jax.random.split(key)
-            skel_dev = (
-                self._skeletons_to_device(sample)
-                if use_cache else self._h2d(sample.skeletons)
-            )
+            if use_cache:
+                skel_dev = self._skeletons_to_device(sample)
+            elif sample.skeletons.dtype == np.uint8:
+                skel_dev = self._skel_norm_j(jnp.asarray(sample.skeletons))
+            else:
+                skel_dev = self._h2d(sample.skeletons)
             cond["skeleton_latents"] = self.encode_images(
                 skel_dev, k_sk
             ).astype(dtype)

@@ -416,7 +416,12 @@ class SlidingIterativeSampler:
             # decode() returns uint8; grid math runs in float
             images = self.pipeline.decode(latents).astype(np.float32) / 255.0
             inputs01 = sample.pixel_values * 0.5 + 0.5
-            skel01 = (sample.skeletons * 0.5 + 0.5) * 0.8 + inputs01 * 0.2
+            sk01 = (
+                sample.skeletons.astype(np.float32) / 255.0
+                if sample.skeletons.dtype == np.uint8
+                else sample.skeletons * 0.5 + 0.5
+            )
+            skel01 = sk01 * 0.8 + inputs01 * 0.2
             error = np.clip(np.abs(images - inputs01), 0.0, 1.0)
             outputs = images.copy()
             inp_rows = sample.cond_masks == 0.0

@@ -80,6 +80,7 @@ def main() -> None:
         data_dir=args.scene, scene_label="0811_06",
         height=args.size, width=args.size,
         target_pixels=False,  # generation never reads target images
+        skeletons_uint8=True,  # device-side [-1,1] normalize
     )
     pipeline = Diffuman4DPipeline(
         unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,

@@ -111,6 +111,7 @@ def main() -> None:
         data_dir=args.scene, scene_label="0811_06",
         height=args.size, width=args.size,
         target_pixels=False,  # generation never reads target images
+        skeletons_uint8=True,  # device-side [-1,1] normalize
     )
     # demo_4d: sliding_fast preset = stride 2 (configs/exp/demo_4d.yaml)
     pipeline = Diffuman4DPipeline(

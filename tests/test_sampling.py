@@ -298,6 +298,68 @@ class TestEndToEnd:
                 input_spa_labels=[0, 3], save_debug_grids=True,
             )
 
+    def test_skeletons_uint8_parity(self, tiny_setup):
+        """skeletons_uint8=True ships skeletons as u8 and normalizes on
+        device; conditions must be bit-identical to the fp path (whose
+        u8 -> fp32 -> fp16-cache -> re-quantize chain is an exact u8
+        round-trip)."""
+        import numpy as np
+
+        from diffuman4d_tpu.data.dataset import SpaTemDataset
+        from diffuman4d_tpu.sampling.pipeline import _skel_u8
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+        ds_u8 = SpaTemDataset(
+            data_dir=dataset.data_dir, scene_label="scene0",
+            height=64, width=64, skeletons_uint8=True,
+        )
+        kw = dict(
+            scene_label="scene0",
+            spa_labels=[f"{i:02d}" for i in range(6)],
+            tem_labels=["000000"],
+            input_spa_labels=["00", "03"],
+        )
+        a = dataset.get_item(**kw)   # fp skeletons
+        b = ds_u8.get_item(**kw)     # u8 skeletons
+        assert b.skeletons.dtype == np.uint8
+        # the u8 wire bytes agree, including through the fp16 frame cache
+        np.testing.assert_array_equal(
+            np.stack([_skel_u8(sk) for sk in a.skeletons]), b.skeletons
+        )
+        np.testing.assert_array_equal(b.pixel_values, a.pixel_values)
+
+        import jax as _jax
+
+        def conds(pipe, sample):
+            pipe.clear_condition_caches()
+            return pipe.prepare_conditions(sample, _jax.random.PRNGKey(0))
+
+        def assert_same(ca, cb):
+            assert ca.keys() == cb.keys()
+            for k in ca:
+                for xa, xb in zip(
+                    _jax.tree.leaves(ca[k]), _jax.tree.leaves(cb[k])
+                ):
+                    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+        # fp vs u8 datasets, cached path (production config): exact —
+        # both re-quantize to the same u8 before the device normalize
+        pipe = make_pipeline(SlidingConfig(window_size=2, alternation_rounds=1))
+        cb = conds(pipe, b)
+        assert_same(conds(pipe, a), cb)
+        # u8 uncached branch vs u8 cached, skeleton-derived leaf only:
+        # exact (same u8, same device normalize). pix_latents differs by
+        # design uncached (encode_images' single-key draw vs the cache's
+        # per-frame keys), and the fp UNCACHED branch keeps host
+        # fp16-rounded skeleton values (only ulp-close) — both are the
+        # pre-existing cache-vs-no-cache contract, not u8-mode behavior.
+        pipe.cond_cache = False
+        cu = conds(pipe, b)
+        pipe.cond_cache = True
+        np.testing.assert_array_equal(
+            np.asarray(cu["pose_features"]), np.asarray(cb["pose_features"])
+        )
+
     def test_explicit_label_lists(self, tiny_setup, tmp_path):
         # spa_labels/tem_labels given as explicit lists instead of ranges
         # (sliding_iterative_sampler.py:49-63)
