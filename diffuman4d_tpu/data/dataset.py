@@ -39,7 +39,11 @@ from diffuman4d_tpu.data.cameras import (
     parse_cameras,
     transform_intrinsic_for_crop,
 )
-from diffuman4d_tpu.data.crops import mask_crop_aspect_ratio, skeleton_to_mask
+from diffuman4d_tpu.data.crops import (
+    mask_crop_aspect_ratio,
+    skeleton_crop_box,
+    skeleton_to_mask,
+)
 from diffuman4d_tpu.data.images import apply_fmask, crop_resize, norm_vae, to_float
 from diffuman4d_tpu.utils.arrays import fast_stack
 
@@ -51,6 +55,8 @@ class Sample:
     domain: str  # "spatial" | "temporal"
     labels: list[tuple[str, str, str]]  # (scene, spa, tem) per frame
     pixel_values: np.ndarray  # (N, H, W, 3) in [-1, 1], white background
+    # (fp16 when the frame cache is on; rows of skipped target views —
+    # target_pixels=False / no-GT generation — are zeros)
     skeletons: np.ndarray  # (N, H, W, 3): fp32 in [-1, 1], or uint8 when
     # the dataset runs with ``skeletons_uint8=True`` (u8/127.5-1 == fp path)
     cond_masks: np.ndarray  # (N,) float32: 1 = target, 0 = input
@@ -165,10 +171,13 @@ class SpaTemDataset:
         if hit is not None:
             return hit
         f = self._load_frame(label, input_spa_labels)
-        f["pixel"] = f["pixel"].astype(np.float16)
+        if f["pixel"] is not None:  # None = skipped target pixels
+            f["pixel"] = f["pixel"].astype(np.float16)
         if f["skeleton"].dtype != np.uint8:  # u8 mode caches u8 directly
             f["skeleton"] = f["skeleton"].astype(np.float16)
-        nbytes = f["pixel"].nbytes + f["skeleton"].nbytes
+        nbytes = (
+            0 if f["pixel"] is None else f["pixel"].nbytes
+        ) + f["skeleton"].nbytes
         if self._frame_cache_bytes + nbytes <= self._frame_cache_budget:
             self._frame_cache[key] = f
             self._frame_cache_bytes += nbytes
@@ -190,11 +199,18 @@ class SpaTemDataset:
 
         skeleton_raw = _decode(skeleton_path)
         skip_pixel = not self.target_pixels and spa not in input_spa_labels
+        fmask_arr = None  # fp32 (H, W, 1); only built when compositing
         if not self.has_gt_target and spa not in input_spa_labels:
             # no GT for targets: skeleton stands in for image; pseudo-mask
             # from the skeleton bbox (spatem_dataset.py:124-127)
             image_raw = skeleton_raw
-            fmask_arr = skeleton_to_mask(to_float(skeleton_raw))[..., None]
+            if skip_pixel:
+                # pixels never consumed: only the crop box is needed, and
+                # skeleton_crop_box computes it bit-identically without
+                # the full-resolution fp32 pseudo-mask
+                crop = skeleton_crop_box(skeleton_raw)
+            else:
+                fmask_arr = skeleton_to_mask(to_float(skeleton_raw))[..., None]
         else:
             fmask_raw = _decode(self.get_file_path(self.fmask_path_pat, scene, spa, tem))
             image_raw = (
@@ -207,20 +223,30 @@ class SpaTemDataset:
                     f"image size {image_raw.shape} != fmask {fmask_raw.shape} "
                     f"!= skeleton {skeleton_raw.shape} for {label}"
                 )
-            fmask_arr = to_float(fmask_raw)
-            if fmask_arr.ndim == 3 and fmask_arr.shape[-1] > 1:
-                fmask_arr = fmask_arr.mean(axis=-1, keepdims=True)
-            if (
-                self.has_gt_target
-                and spa in input_spa_labels
-                and fmask_arr.mean() <= 0.02
-            ):
-                raise AssertionError(
-                    f"foreground mask < 2% for input view {label}; check the data"
-                )
+            if skip_pixel:
+                # crop-only fast path (the 2% check below applies to input
+                # views, which never skip): the u8 channel max has the
+                # same nonzero set as the fp32 channel mean, so the bbox
+                # — and therefore the crop — is identical, without ~35 ms
+                # of fp32 conversion + reduction per 1024^2 frame
+                nz = fmask_raw if fmask_raw.ndim == 2 else fmask_raw.max(axis=-1)
+                crop = mask_crop_aspect_ratio(nz)
+            else:
+                fmask_arr = to_float(fmask_raw)
+                if fmask_arr.ndim == 3 and fmask_arr.shape[-1] > 1:
+                    fmask_arr = fmask_arr.mean(axis=-1, keepdims=True)
+                if (
+                    self.has_gt_target
+                    and spa in input_spa_labels
+                    and fmask_arr.mean() <= 0.02
+                ):
+                    raise AssertionError(
+                        f"foreground mask < 2% for input view {label}; check the data"
+                    )
 
         camera = self.cameras[scene][spa]
-        crop = mask_crop_aspect_ratio(fmask_arr[..., 0])
+        if fmask_arr is not None:
+            crop = mask_crop_aspect_ratio(fmask_arr[..., 0])
 
         h, w = self.height, self.width
         if use_native:
@@ -233,14 +259,19 @@ class SpaTemDataset:
                 to_rgb(image_raw), crop, h, w
             )
             skeleton_u8 = native.crop_resize(to_rgb(skeleton_raw), crop, h, w)
-            fmask_u8 = (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
-            fm_u8 = native.crop_resize(fmask_u8[..., None], crop, h, w)
+            # the resized mask only feeds compositing — skipped pixels
+            # (pixel None, see below) never need it
+            fm_u8 = None if skip_pixel else native.crop_resize(
+                (np.clip(fmask_arr[..., 0], 0, 1) * 255)
+                .astype(np.uint8)[..., None],
+                crop, h, w,
+            )
             if native.has_vae_fused():
                 # u8 -> fp32 vae norm + white compositing in one native
                 # pass (bit-parity with the numpy chain below, which costs
                 # ~250 MB of temporaries per frame vs ~16 MB here)
                 pixel = (
-                    np.zeros((h, w, 3), np.float32)
+                    None
                     if skip_pixel
                     else native.composite_white_vae(image_u8, fm_u8)
                 )
@@ -249,7 +280,7 @@ class SpaTemDataset:
                     else native.u8_to_vae(skeleton_u8)
                 )
                 K = transform_intrinsic_for_crop(camera.K, crop, h)
-                checks = [("pixel_values", pixel)]
+                checks = [] if skip_pixel else [("pixel_values", pixel)]
                 if not self.skeletons_uint8:  # u8 is in range by type
                     checks.append(("skeletons", skeleton))
                 for name, arr in checks:
@@ -271,14 +302,14 @@ class SpaTemDataset:
                 skeleton_u8 if self.skeletons_uint8
                 else norm_vae(to_float(skeleton_u8))
             )
-            fmask = norm_vae(to_float(fm_u8))
+            fmask = None if skip_pixel else norm_vae(to_float(fm_u8))
         else:
             image_img = Image.fromarray(image_raw) if isinstance(image_raw, np.ndarray) else image_raw
             skeleton_img = Image.fromarray(skeleton_raw) if isinstance(skeleton_raw, np.ndarray) else skeleton_raw
             image = None if skip_pixel else norm_vae(
                 to_float(crop_resize(image_img.convert("RGB"), crop, h, w))
             )
-            fmask = norm_vae(
+            fmask = None if skip_pixel else norm_vae(
                 to_float(crop_resize(Image.fromarray(
                     (np.clip(fmask_arr[..., 0], 0, 1) * 255).astype(np.uint8)
                 ), crop, h, w))
@@ -292,14 +323,14 @@ class SpaTemDataset:
         K = transform_intrinsic_for_crop(camera.K, crop, h)
 
         pixel = (
-            np.zeros((h, w, 3), np.float32)
+            None
             if skip_pixel
             else apply_fmask(image, fmask, "white", vae_normalized=True)
         )
         # range invariant (spatem_dataset.py:191-228) checked per frame at
         # load time: cache hits skip the re-scan, and get_item avoids
         # whole-batch reductions over hundreds of MB (slow on this host)
-        range_checks = [("pixel_values", pixel)]
+        range_checks = [] if skip_pixel else [("pixel_values", pixel)]
         if not self.skeletons_uint8:
             range_checks.append(("skeletons", skeleton))
         for name, arr in range_checks:
@@ -309,7 +340,7 @@ class SpaTemDataset:
                     f"[{arr.min()}, {arr.max()}]"
                 )
         return {
-            "pixel": pixel.astype(np.float32),
+            "pixel": None if pixel is None else pixel.astype(np.float32),
             "skeleton": skeleton if self.skeletons_uint8
             else skeleton.astype(np.float32),
             "K": K,
@@ -357,8 +388,23 @@ class SpaTemDataset:
 
         # fast_stack: np.stack's concatenate path is ~10x slower than a
         # strided memcpy on this host — the image stacks are the dominant
-        # cost of a warm get_item
-        pixel_values = fast_stack([f["pixel"] for f in frames])
+        # cost of a warm get_item. Skipped target pixels (pixel None under
+        # target_pixels=False / no-GT) stay zero rows: np.zeros is lazy
+        # (calloc zero pages), so the 44-of-48 untouched rows of a
+        # generation task cost no memory writes at all.
+        pix = [f["pixel"] for f in frames]
+        first = next((p for p in pix if p is not None), None)
+        pix_dtype = (
+            first.dtype
+            if first is not None
+            else (np.float16 if self.cache_frames else np.float32)
+        )
+        pixel_values = np.zeros(
+            (len(pix), self.height, self.width, 3), pix_dtype
+        )
+        for i, p in enumerate(pix):
+            if p is not None:
+                pixel_values[i] = p
         skeletons = fast_stack([f["skeleton"] for f in frames])
         Ks = np.stack([f["K"] for f in frames])
         poses = np.stack([f["pose"] for f in frames]).astype(np.float32)
