@@ -240,6 +240,11 @@ def conv3x3(
     x: (B,H,W,Cin) bf16 NHWC; w: (3,3,Cin,Cout); bias: (Cout,);
     scale/shift: (B,Cin) f32 per-batch-channel affine (defaults 1/0);
     residual: (B,H,W,Cout) added to the output. stride 1, SAME padding.
+
+    Differentiable: the forward runs the Pallas kernel; the backward is
+    the VJP of an exact XLA restatement of the same math (see
+    ``_conv3x3_ref``), so the op composes with ``jax.grad`` / remat in
+    the training step.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -248,16 +253,88 @@ def conv3x3(
     TR = tile_rows or _pick_tile_rows(H, W, Cin, Cout)
     if TR is None:
         raise ValueError(f"no tile size for {x.shape}->{Cout}")
-    nH = H // TR
     has_affine = scale is not None
     if scale is None:
         scale = jnp.ones((B, Cin), jnp.float32)
     if shift is None:
         shift = jnp.zeros((B, Cin), jnp.float32)
     has_res = residual is not None
+    res = residual if has_res else jnp.zeros((B, 1, 1, Cout), x.dtype)
+    return _conv3x3_p(
+        silu, has_affine, has_res, TR, interpret, x, w, bias, scale, shift,
+        res,
+    )
+
+
+def _conv3x3_ref(x, w, bias, scale, shift, res, silu, has_affine, has_res):
+    """XLA restatement of the kernel's math (bf16 taps, fp32 prologue /
+    accumulation / bias) — the autodiff reference for the backward pass
+    and the A/B baseline in tests."""
+    h = x.astype(jnp.bfloat16)
+    if has_affine or silu:
+        t = h.astype(jnp.float32)
+        if has_affine:
+            t = t * scale[:, None, None, :] + shift[:, None, None, :]
+        if silu:
+            t = t * jax.nn.sigmoid(t)
+        h = t.astype(jnp.bfloat16)
+    # bf16-rounded operands, fp32 conv == bf16 MXU matmul with fp32
+    # accumulation; all-fp32 operands keep lax.conv's transpose rule
+    # happy under vjp (mixed bf16/fp32 cotangents are rejected)
+    y = jax.lax.conv_general_dilated(
+        h.astype(jnp.float32),
+        w.astype(jnp.bfloat16).astype(jnp.float32),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + bias.astype(jnp.float32).reshape(1, 1, 1, -1)
+    if has_res:
+        y = y + res.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _conv3x3_p(silu, has_affine, has_res, tile_rows, interpret,
+               x, w, bias, scale, shift, res):
+    return _conv3x3_pallas(
+        x, w, bias, scale, shift, res, silu=silu, has_affine=has_affine,
+        has_res=has_res, tile_rows=tile_rows, interpret=interpret,
+    )
+
+
+def _conv3x3_p_fwd(silu, has_affine, has_res, tile_rows, interpret,
+                   x, w, bias, scale, shift, res):
+    out = _conv3x3_p(
+        silu, has_affine, has_res, tile_rows, interpret, x, w, bias, scale,
+        shift, res,
+    )
+    return out, (x, w, bias, scale, shift, res)
+
+
+def _conv3x3_p_bwd(silu, has_affine, has_res, tile_rows, interpret,
+                   saved, g):
+    x, w, bias, scale, shift, res = saved
+    _, vjp = jax.vjp(
+        lambda *a: _conv3x3_ref(
+            *a, silu=silu, has_affine=has_affine, has_res=has_res
+        ),
+        x, w, bias, scale, shift, res,
+    )
+    return vjp(g)
+
+
+_conv3x3_p.defvjp(_conv3x3_p_fwd, _conv3x3_p_bwd)
+
+
+def _conv3x3_pallas(x, w, bias, scale, shift, res, *, silu, has_affine,
+                    has_res, tile_rows, interpret):
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    TR = tile_rows
+    nH = H // TR
     w2 = w.reshape(9 * Cin, Cout).astype(jnp.bfloat16)
     bias2 = bias.reshape(1, Cout).astype(jnp.float32)
-    res = residual if has_res else jnp.zeros((B, 1, 1, Cout), x.dtype)
 
     kernel = functools.partial(
         _conv_kernel,

@@ -157,3 +157,48 @@ def test_fused_upsample_module_matches_unfused(monkeypatch):
         rtol=0,
         atol=0.1,
     )
+
+
+def test_grad_through_conv3x3_matches_reference():
+    """jax.grad through the Pallas conv (custom_vjp whose backward is the
+    VJP of _conv3x3_ref) — the training step differentiates UNet blocks
+    that route through this kernel (models/layers.py:239). Regression for
+    the r4 train-step crash: pallas_call has no JVP rule without it."""
+    from diffuman4d_tpu.ops.conv import _conv3x3_ref
+
+    B, H, W, Cin, Cout = 2, 16, 8, 128, 128
+    x = _rand(jax.random.PRNGKey(0), (B, H, W, Cin))
+    w = _rand(jax.random.PRNGKey(1), (3, 3, Cin, Cout), jnp.float32) * 0.05
+    b = _rand(jax.random.PRNGKey(2), (Cout,), jnp.float32)
+    sc = _rand(jax.random.PRNGKey(3), (B, Cin), jnp.float32) * 0.3 + 1.0
+    sh = _rand(jax.random.PRNGKey(4), (B, Cin), jnp.float32) * 0.2
+    res = _rand(jax.random.PRNGKey(5), (B, H, W, Cout))
+
+    def loss_pallas(w, x):
+        y = conv3x3(x, w, b, sc, sh, res, silu=True, tile_rows=8,
+                    interpret=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_ref(w, x):
+        y = _conv3x3_ref(x, w, b, sc, sh, res, True, True, True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_pallas, argnums=(0, 1))(w, x)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(w, x)
+    # forward identical (same kernel math); grads differ only by bf16
+    # cotangent rounding
+    assert v1 == v2
+    for a, want in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=1e-2 * float(np.abs(np.asarray(want)).max()),
+        )
+    # plain (no affine/res) variant + remat composition
+    def lp(w):
+        return jnp.sum(
+            conv3x3(x, w, b, tile_rows=8, interpret=True).astype(jnp.float32)
+            ** 2
+        )
+
+    assert jax.grad(lp)(w).shape == w.shape
+    assert jax.grad(jax.checkpoint(lp))(w).shape == w.shape
