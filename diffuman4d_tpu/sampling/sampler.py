@@ -152,6 +152,10 @@ class SlidingIterativeSampler:
         # multi-process completeness check unions these across processes
         # (each process saves only its own tasks' outputs)
         self._saved_cells: set[tuple[str, str]] = set()
+        # async output saver (single-device execute_tasks only; the wave
+        # executor has its own phased save path)
+        self._saver = None
+        self._save_futs: list = []
         if resume and self._try_resume():
             pass
 
@@ -355,7 +359,13 @@ class SlidingIterativeSampler:
         )
 
     # ------------------------------------------------------------------
-    def execute_one_task(self, task: Task, key, sample: Sample | None = None) -> None:
+    def execute_one_task(
+        self,
+        task: Task,
+        key,
+        sample: Sample | None = None,
+        save_async: bool = False,
+    ) -> None:
         if sample is None:
             sample = self.load_sample(task)
         spa, tem = self._grid_cells(sample.labels)
@@ -383,7 +393,27 @@ class SlidingIterativeSampler:
                 lambda g, u: g.at[spa, tem].set(u), self.grid_aux, aux
             )
 
-        self._save_task_outputs(task, sample, latents, np.asarray(t_idx))
+        t_np = np.asarray(t_idx)  # blocks on the task's denoise chain
+        if save_async and self._saver is not None:
+            # decode + jpeg-save on the saver thread so the host-side
+            # output work (~5-10 s/task at 48x1024^2) overlaps the NEXT
+            # task's denoise; the decode compute simply queues on the
+            # device stream ahead of it. Joined via _flush_saves() before
+            # any checkpoint/validation (resume correctness: grid_state
+            # must never claim a task whose outputs aren't on disk).
+            self._save_futs.append(
+                self._saver.submit(
+                    self._save_task_outputs, task, sample, latents, t_np
+                )
+            )
+        else:
+            self._save_task_outputs(task, sample, latents, t_np)
+
+    def _flush_saves(self) -> None:
+        """Join pending async saves, re-raising the first failure."""
+        futs, self._save_futs = self._save_futs, []
+        for f in futs:
+            f.result()
 
     def _save_task_outputs(self, task, sample, latents, t_idx) -> None:
         total = self.pipeline.sliding.total_steps
@@ -826,6 +856,7 @@ class SlidingIterativeSampler:
             )
 
         prefetch = ThreadPoolExecutor(max_workers=1)
+        self._saver = ThreadPoolExecutor(max_workers=1)
         fut = None
         try:
             for j, (round_idx, task_idx, task) in enumerate(todo):
@@ -835,7 +866,8 @@ class SlidingIterativeSampler:
                     if j + 1 < len(todo) else None
                 )
                 self.execute_one_task(
-                    task, self._task_key(round_idx, task_idx), sample=sample
+                    task, self._task_key(round_idx, task_idx), sample=sample,
+                    save_async=True,
                 )
                 done = task_idx + 1
                 self._tasks_run += 1
@@ -844,6 +876,7 @@ class SlidingIterativeSampler:
                     and self._tasks_run >= self.task_budget
                 )
                 if done == len(self.all_tasks[round_idx]):
+                    self._flush_saves()
                     self._completed_rounds = round_idx + 1
                     self.validate_grid(self._completed_rounds)
                     if self.checkpoint_rounds:
@@ -853,6 +886,7 @@ class SlidingIterativeSampler:
                     and self.checkpoint_every_tasks > 0
                     and (budget_out or done % self.checkpoint_every_tasks == 0)
                 ):
+                    self._flush_saves()
                     self.save_state(tasks_done=done)
                 if budget_out and (round_idx, done) != (
                     len(self.all_tasks) - 1, len(self.all_tasks[-1])
@@ -864,7 +898,10 @@ class SlidingIterativeSampler:
                         len(self.all_tasks[round_idx]),
                     )
                     return
+            self._flush_saves()
         finally:
             prefetch.shutdown(wait=False, cancel_futures=True)
+            self._saver.shutdown(wait=True)
+            self._saver = None
         if not check_sampling_results(self.spa_labels, self.tem_labels, self.output_dir):
             raise ValueError("Sampling failed: output grid incomplete.")

@@ -51,6 +51,11 @@ class TrainConfig:
     # exponential moving average of params; 0 disables (SD fine-tunes
     # conventionally sample from the EMA weights)
     ema_decay: float = 0.0
+    # the shadow is deliberately fp32-only: at decay 0.999 the per-step
+    # delta 0.001*(p - e) sits far below a bf16 shadow's ulp, so a
+    # low-precision EMA silently freezes. At 0.87B that is +3.5 GB —
+    # fits one 16 GB v5e up to ~8-frame windows (TRAIN_r04.json); the
+    # 12-frame window with EMA needs dp-sharded state (pods)
 
 
 class TrainState:

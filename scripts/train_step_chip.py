@@ -48,7 +48,11 @@ def main():
                     help="enable the fp32 EMA shadow (+3.5 GB at 0.87B) — "
                     "the memory-fit proof VERDICT r3 asked for")
     ap.add_argument("--out", default="TRAIN_r04.json",
-                    help="also write the JSON record here ('' to skip)")
+                    help="append the JSON record to this file as a tier "
+                    "list ('' to skip)")
+    ap.add_argument("--tag", default="",
+                    help="tier name in the --out list (replaces an "
+                    "existing record with the same tag)")
     args = ap.parse_args()
 
     from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
@@ -102,9 +106,47 @@ def main():
         "is_cond": jnp.asarray([[True] * (L // 3) + [False] * (L - L // 3)] * B),
     }
 
+    tier = args.tag or (
+        f"{args.optimizer}{'_ema' if args.ema else ''}_f{args.frames}"
+    )
+
+    def emit(record):
+        record = {"tier": tier, **record}
+        print(json.dumps(record), flush=True)
+        if args.out:
+            try:
+                with open(args.out) as f:
+                    existing = json.load(f)
+                tiers = existing if isinstance(existing, list) else [existing]
+            except (OSError, ValueError):
+                tiers = []
+            tiers = [t for t in tiers if t.get("tier") != tier] + [record]
+            with open(args.out, "w") as f:
+                json.dump(tiers, f, indent=2)
+
     t0 = time.perf_counter()
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    loss0 = float(metrics["loss"])  # blocks
+    try:
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        loss0 = float(metrics["loss"])  # blocks
+    except Exception as e:  # noqa: BLE001 — record HBM OOM as a result
+        msg = str(e)
+        if "memory" not in msg.lower() and "hbm" not in msg.lower():
+            raise
+        import re
+
+        m = re.search(r"Used ([0-9.]+)G of ([0-9.]+)G hbm", msg)
+        emit({
+            "metric": "train_step_sec",
+            "value": None,
+            "oom": True,
+            "unit": f"0.87B UNet bf16 remat, {args.optimizer}"
+            f"{'+fp32-ema' if args.ema else ''}, batch {B}x{L}@128^2"
+            " latents — does NOT fit one 16 GB v5e",
+            "hbm_required_gb": float(m.group(1)) if m else None,
+            "hbm_capacity_gb": float(m.group(2)) if m else None,
+            "params_b": round(n_params / 1e9, 3),
+        })
+        return
     compile_s = time.perf_counter() - t0
     used0, peak0 = hbm_gb()
     print(f"compile+first step: {compile_s:.1f}s, loss {loss0:.4f}, "
@@ -147,10 +189,7 @@ def main():
         "cost_model_tflop_per_step": round(flops / 1e12, 1) if flops else None,
         "mfu_vs_197tf_bf16": round(mfu, 3) if mfu else None,
     }
-    print(json.dumps(record), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(record, f, indent=2)
+    emit(record)
 
 
 if __name__ == "__main__":
