@@ -314,14 +314,70 @@ def _conv3x3_p_fwd(silu, has_affine, has_res, tile_rows, interpret,
 
 def _conv3x3_p_bwd(silu, has_affine, has_res, tile_rows, interpret,
                    saved, g):
+    """Hand-written VJP in bf16 operands / fp32 accumulation.
+
+    Deliberately NOT jax.vjp(_conv3x3_ref): lax.conv's transpose rule
+    rejects mixed bf16/fp32 cotangents, and routing the ref through
+    all-fp32 conv operands to appease it costs 8x MXU rate and doubled
+    activation temps in the backward — measured as the r4 train-step
+    regression (16.1 GB > 15.75 GB HBM at the 12-frame window that fit
+    before). Both backward convs here are direct primal calls (bf16
+    operands, fp32 accumulation), same cost shape as XLA's own conv
+    grads."""
     x, w, bias, scale, shift, res = saved
-    _, vjp = jax.vjp(
-        lambda *a: _conv3x3_ref(
-            *a, silu=silu, has_affine=has_affine, has_res=has_res
-        ),
-        x, w, bias, scale, shift, res,
+    wb = w.astype(jnp.bfloat16)
+    xb32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    # recompute the prologue (cheap VPU) — pre-activation needed for the
+    # silu/affine chain, post-activation for the weight grad
+    pre = (
+        xb32 * scale[:, None, None, :] + shift[:, None, None, :]
+        if has_affine
+        else xb32
     )
-    return vjp(g)
+    act = pre * jax.nn.sigmoid(pre) if silu else pre
+    h = act.astype(jnp.bfloat16)
+
+    gb = g.astype(jnp.bfloat16)
+    g32 = g.astype(jnp.float32)
+    dbias = jnp.sum(g32, axis=(0, 1, 2)).astype(bias.dtype)
+    dres = (
+        g.astype(res.dtype) if has_res else jnp.zeros_like(res)
+    )
+    # d(activation): correlate g with the 180deg-flipped, IO-swapped kernel
+    dh = jax.lax.conv_general_dilated(
+        gb,
+        jnp.flip(wb, (0, 1)).swapaxes(2, 3),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    # dw[ky,kx,ci,co] = sum_{b,oy,ox} h[b,oy+ky-1,ox+kx-1,ci] g[b,oy,ox,co]
+    # — a conv contracting over (batch, spatial) with h's channels as the
+    # "batch" and g as an (H, W)-sized kernel, padding 1 -> 3x3 output
+    dw = jax.lax.conv_general_dilated(
+        h,
+        gb,
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+
+    if silu:
+        sig = jax.nn.sigmoid(pre)
+        dpre = dh * (sig * (1.0 + pre * (1.0 - sig)))
+    else:
+        dpre = dh
+    if has_affine:
+        dscale = jnp.sum(dpre * xb32, axis=(1, 2)).astype(scale.dtype)
+        dshift = jnp.sum(dpre, axis=(1, 2)).astype(shift.dtype)
+        dx = (dpre * scale[:, None, None, :]).astype(x.dtype)
+    else:
+        dscale = jnp.zeros_like(scale)
+        dshift = jnp.zeros_like(shift)
+        dx = dpre.astype(x.dtype)
+    return dx, dw, dbias, dscale, dshift, dres
 
 
 _conv3x3_p.defvjp(_conv3x3_p_fwd, _conv3x3_p_bwd)

@@ -160,10 +160,13 @@ def test_fused_upsample_module_matches_unfused(monkeypatch):
 
 
 def test_grad_through_conv3x3_matches_reference():
-    """jax.grad through the Pallas conv (custom_vjp whose backward is the
-    VJP of _conv3x3_ref) — the training step differentiates UNet blocks
-    that route through this kernel (models/layers.py:239). Regression for
-    the r4 train-step crash: pallas_call has no JVP rule without it."""
+    """jax.grad through the Pallas conv (custom_vjp with a hand-written
+    bf16-operand backward) vs jax.grad of the fp32 reference — the
+    training step differentiates UNet blocks that route through this
+    kernel (models/layers.py:239). Covers all six inputs (x, w, bias,
+    scale, shift, res); regression for the r4 train-step crash
+    (pallas_call has no JVP rule) and for the fp32-backward HBM blowup
+    that OOMed the 0.87B train step."""
     from diffuman4d_tpu.ops.conv import _conv3x3_ref
 
     B, H, W, Cin, Cout = 2, 16, 8, 128, 128
@@ -174,17 +177,20 @@ def test_grad_through_conv3x3_matches_reference():
     sh = _rand(jax.random.PRNGKey(4), (B, Cin), jnp.float32) * 0.2
     res = _rand(jax.random.PRNGKey(5), (B, H, W, Cout))
 
-    def loss_pallas(w, x):
+    def loss_pallas(w, x, b, sc, sh, res):
         y = conv3x3(x, w, b, sc, sh, res, silu=True, tile_rows=8,
                     interpret=True)
         return jnp.sum(y.astype(jnp.float32) ** 2)
 
-    def loss_ref(w, x):
+    def loss_ref(w, x, b, sc, sh, res):
         y = _conv3x3_ref(x, w, b, sc, sh, res, True, True, True)
         return jnp.sum(y.astype(jnp.float32) ** 2)
 
-    v1, g1 = jax.value_and_grad(loss_pallas, argnums=(0, 1))(w, x)
-    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(w, x)
+    argnums = (0, 1, 2, 3, 4, 5)
+    v1, g1 = jax.value_and_grad(loss_pallas, argnums=argnums)(
+        w, x, b, sc, sh, res)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=argnums)(
+        w, x, b, sc, sh, res)
     # forward identical (same kernel math); grads differ only by bf16
     # cotangent rounding
     assert v1 == v2
