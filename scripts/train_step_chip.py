@@ -53,7 +53,17 @@ def main():
     ap.add_argument("--tag", default="",
                     help="tier name in the --out list (replaces an "
                     "existing record with the same tag)")
+    # The fused Pallas conv (ops/conv.py) is an inference kernel; its
+    # custom-VJP backward adds ~0.4 GB of HLO temps at the 12-frame
+    # window (16.1 GB > the 15.75 GB HBM that the pure-XLA-conv train
+    # step fits in). Training perf is conv-light anyway (attention
+    # dominates), so default it off here; pass --pallas-conv to A/B.
+    ap.add_argument("--pallas-conv", action="store_true")
     args = ap.parse_args()
+    if not args.pallas_conv:
+        import os
+
+        os.environ["D4D_PALLAS_CONV"] = "0"
 
     from diffuman4d_tpu.models.unet import UNetConfig, UNetMultiviewCondition
     from diffuman4d_tpu.schedulers.diffusion import Scheduler, SchedulerConfig
