@@ -61,12 +61,20 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
     }
     state = create_train_state(pipeline.params["unet"], train_cfg)
 
+    # host-offloaded EMA: the single-chip fit when the fp32 shadow does
+    # not fit HBM next to the step (TRAIN_r04.json ema tier OOM)
+    host_ema = None
+    if train_cfg.ema_decay and train_cfg.ema_host:
+        from diffuman4d_tpu.training.ema import HostEMA
+
+        host_ema = HostEMA(state.params["params"], train_cfg.ema_decay)
+
     # resume: restore the FULL train state (params + optimizer moments +
     # step + EMA) from the newest state checkpoint, if any
     start_step = 0
     latest = _latest_state_dir(loop_cfg.out_dir)
     if latest is not None:
-        state = _restore_state(latest, state)
+        state = _restore_state(latest, state, host_ema)
         start_step = int(state.step)
         log.info("resumed train state at step %d from %s", start_step, latest)
 
@@ -84,7 +92,14 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
 
                 shard = NamedSharding(mesh, P("data"))
                 batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+            if host_ema is not None:
+                # fold the params staged after the PREVIOUS step while the
+                # device runs this one; fold blocks on the D2H, so by the
+                # time a donating step reuses the buffer the copy retired
+                host_ema.fold()
             state, metrics = steps[domain](state, batch, k_step)
+            if host_ema is not None and host_ema.should_update(step_i):
+                host_ema.stage(state.params["params"])
 
             if step_i % loop_cfg.log_every == 0:
                 rec = {
@@ -101,28 +116,36 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
             if (step_i + 1) % loop_cfg.checkpoint_every == 0 or step_i == loop_cfg.steps - 1:
                 from diffuman4d_tpu.io.checkpoints import save_native
 
+                if host_ema is not None:
+                    host_ema.fold()  # include this step's staged params
                 n = int(metrics["step"])
                 # inference-ready params (EMA when enabled, like SD releases)
-                infer = (
-                    {"params": state.ema_params}
-                    if state.ema_params is not None else state.params
-                )
+                if host_ema is not None:
+                    infer = {"params": host_ema.materialize()}
+                elif state.ema_params is not None:
+                    infer = {"params": state.ema_params}
+                else:
+                    infer = state.params
                 save_native(osp.join(loop_cfg.out_dir, f"ckpt_{n:07d}"),
                             {"unet": infer})
                 # full resumable state
                 save_native(osp.join(loop_cfg.out_dir, f"state_{n:07d}"),
-                            _state_to_tree(state))
+                            _state_to_tree(state, host_ema))
                 log.info("checkpoint written at step %d", n)
+    if host_ema is not None:
+        host_ema.fold()
     return state
 
 
-def _state_to_tree(state) -> dict:
+def _state_to_tree(state, host_ema=None) -> dict:
     tree = {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    if state.ema_params is not None:
+    if host_ema is not None:
+        tree["ema_params"] = host_ema.materialize()
+    elif state.ema_params is not None:
         tree["ema_params"] = state.ema_params
     return tree
 
@@ -134,18 +157,22 @@ def _latest_state_dir(out_dir: str):
     return osp.join(out_dir, cands[-1]) if cands else None
 
 
-def _restore_state(path: str, template):
-    """Orbax restore with the live state as the structure/sharding target."""
+def _restore_state(path: str, template, host_ema=None):
+    """Orbax restore with the live state as the structure/sharding target.
+    With a host EMA, the shadow restores into it (host numpy) and the
+    device TrainState carries no EMA."""
     import orbax.checkpoint as ocp
 
     from diffuman4d_tpu.training.trainer import TrainState
 
     ckptr = ocp.StandardCheckpointer()
-    tree = _state_to_tree(template)
+    tree = _state_to_tree(template, host_ema)
     restored = ckptr.restore(osp.abspath(path), tree)
+    if host_ema is not None:
+        host_ema.load(restored["ema_params"])
     return TrainState(
         restored["params"], restored["opt_state"], restored["step"],
-        restored.get("ema_params"),
+        None if host_ema is not None else restored.get("ema_params"),
     )
 
 

@@ -56,6 +56,10 @@ class TrainConfig:
     # low-precision EMA silently freezes. At 0.87B that is +3.5 GB —
     # fits one 16 GB v5e up to ~8-frame windows (TRAIN_r04.json); the
     # 12-frame window with EMA needs dp-sharded state (pods)
+    # ema_host: keep the fp32 shadow in HOST memory instead of HBM
+    # (training.ema.HostEMA) — the single-chip fit for ema_decay>0 at the
+    # 12-frame window; the device train step then carries no EMA state
+    ema_host: bool = False
 
 
 class TrainState:
@@ -112,7 +116,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def create_train_state(params, cfg: TrainConfig) -> TrainState:
     opt = make_optimizer(cfg)
-    ema = jax.tree.map(jnp.copy, params["params"]) if cfg.ema_decay else None
+    ema = (
+        jax.tree.map(jnp.copy, params["params"])
+        if cfg.ema_decay and not cfg.ema_host
+        else None
+    )
     return TrainState(
         params, opt.init(params["params"]), jnp.zeros((), jnp.int32), ema
     )

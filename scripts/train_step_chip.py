@@ -44,9 +44,12 @@ def main():
     # adafactor: Adam's fp32 p+g+m+v is 13.9 GB for 0.87B params — more
     # than one v5e's HBM before activations; pods shard Adam over dp
     ap.add_argument("--optimizer", default="adafactor")
-    ap.add_argument("--ema", action="store_true",
-                    help="enable the fp32 EMA shadow (+3.5 GB at 0.87B) — "
-                    "the memory-fit proof VERDICT r3 asked for")
+    ap.add_argument("--ema", nargs="?", const="device", default="",
+                    choices=["", "device", "host"],
+                    help="fp32 EMA shadow: 'device' keeps it in HBM "
+                    "(+3.5 GB at 0.87B — proven NOT to fit the 12-frame "
+                    "window, TRAIN_r04.json); 'host' offloads it to host "
+                    "memory with async D2H staging (training/ema.py)")
     ap.add_argument("--out", default="TRAIN_r04.json",
                     help="append the JSON record to this file as a tier "
                     "list ('' to skip)")
@@ -96,8 +99,17 @@ def main():
 
     tcfg = TrainConfig(learning_rate=1e-5, remat=True,
                        ema_decay=0.999 if args.ema else 0.0,
+                       ema_host=args.ema == "host",
                        optimizer=args.optimizer)
     state = create_train_state(params, tcfg)
+    host_ema = None
+    if args.ema == "host":
+        from diffuman4d_tpu.training.ema import HostEMA
+
+        t_ema = time.perf_counter()
+        host_ema = HostEMA(state.params["params"], tcfg.ema_decay)
+        print(f"host EMA shadow: {host_ema.nbytes/2**30:.2f} GB on host, "
+              f"init pull {time.perf_counter()-t_ema:.1f}s", flush=True)
     step = jax.jit(make_train_step(unet, Scheduler(SchedulerConfig()), tcfg),
                    donate_argnums=0)
 
@@ -116,9 +128,8 @@ def main():
         "is_cond": jnp.asarray([[True] * (L // 3) + [False] * (L - L // 3)] * B),
     }
 
-    tier = args.tag or (
-        f"{args.optimizer}{'_ema' if args.ema else ''}_f{args.frames}"
-    )
+    ema_suffix = {"": "", "device": "_ema", "host": "_emahost"}[args.ema]
+    tier = args.tag or f"{args.optimizer}{ema_suffix}_f{args.frames}"
 
     def emit(record):
         record = {"tier": tier, **record}
@@ -134,9 +145,12 @@ def main():
             with open(args.out, "w") as f:
                 json.dump(tiers, f, indent=2)
 
+    ema_desc = {"": "", "device": "+fp32-ema", "host": "+host-ema"}[args.ema]
     t0 = time.perf_counter()
     try:
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        if host_ema is not None:
+            host_ema.stage(state.params["params"])
         loss0 = float(metrics["loss"])  # blocks
     except Exception as e:  # noqa: BLE001 — record HBM OOM as a result
         msg = str(e)
@@ -150,7 +164,7 @@ def main():
             "value": None,
             "oom": True,
             "unit": f"0.87B UNet bf16 remat, {args.optimizer}"
-            f"{'+fp32-ema' if args.ema else ''}, batch {B}x{L}@128^2"
+            f"{ema_desc}, batch {B}x{L}@128^2"
             " latents — does NOT fit one 16 GB v5e",
             "hbm_required_gb": float(m.group(1)) if m else None,
             "hbm_capacity_gb": float(m.group(2)) if m else None,
@@ -163,11 +177,23 @@ def main():
           f"hbm used/peak {used0}/{peak0} GB", flush=True)
 
     times = []
+    fold_times = []
     for i in range(args.steps):
         t0 = time.perf_counter()
+        if host_ema is not None:
+            # fold the previous step's staged params; its D2H has been in
+            # flight since that step completed, and blocking here makes the
+            # subsequent donation of the staged buffers safe
+            tf = time.perf_counter()
+            host_ema.fold()
+            fold_times.append(time.perf_counter() - tf)
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+        if host_ema is not None:
+            host_ema.stage(state.params["params"])
         loss = float(metrics["loss"])  # forces completion
         times.append(time.perf_counter() - t0)
+    if host_ema is not None:
+        host_ema.fold()
     used, peak = hbm_gb()
     step_s = min(times)
 
@@ -189,7 +215,7 @@ def main():
         "metric": "train_step_sec",
         "value": round(step_s, 3),
         "unit": f"sec/step, 0.87B UNet bf16 remat, {args.optimizer}"
-        f"{'+ema' if args.ema else ''}, batch {B}x{L}@128^2 latents",
+        f"{ema_desc}, batch {B}x{L}@128^2 latents",
         "params_b": round(n_params / 1e9, 3),
         "loss": loss,
         "compile_s": round(compile_s, 1),
@@ -199,6 +225,12 @@ def main():
         "cost_model_tflop_per_step": round(flops / 1e12, 1) if flops else None,
         "mfu_vs_197tf_bf16": round(mfu, 3) if mfu else None,
     }
+    if host_ema is not None:
+        record["ema_host_gb"] = round(host_ema.nbytes / 2**30, 2)
+        # fold blocks on the staged D2H + does the fp32 host accumulate;
+        # this is the EMA's serialized cost per step (the transfer itself
+        # overlaps whatever host work runs between stage and fold)
+        record["ema_fold_s"] = [round(t, 3) for t in fold_times]
     emit(record)
 
 
