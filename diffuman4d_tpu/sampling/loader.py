@@ -59,13 +59,6 @@ def init_random_params(
     del image_size  # param shapes don't depend on it
     min_latent = 2 ** (len(unet.config.block_out_channels) - 1)
     min_image = min_latent * vae.config.downscale_factor
-    key = jax.random.PRNGKey(seed)
-    sample = jnp.zeros((2, min_latent, min_latent, unet.config.in_channels), unet.dtype)
-    skel = jnp.zeros((2, min_image, min_image, 3), unet.dtype)
-    unet_params = unet.init(
-        key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2
-    )
-    vae_params = vae.init(key, jnp.zeros((1, min_image, min_image, 3), unet.dtype))
 
     def cast(tree):
         return jax.tree.map(
@@ -74,7 +67,25 @@ def init_random_params(
             tree,
         )
 
-    return {"unet": cast(unet_params), "vae": cast(vae_params)}
+    # ONE jitted program (persistent-cache friendly): eager flax .init
+    # dispatch-compiles thousands of tiny ops through this environment's
+    # remote-compile relay — measured 517 s of the full-size slice's
+    # startup; jitted + cache-warm it is seconds.
+    @jax.jit
+    def _init(key):
+        sample = jnp.zeros(
+            (2, min_latent, min_latent, unet.config.in_channels), unet.dtype
+        )
+        skel = jnp.zeros((2, min_image, min_image, 3), unet.dtype)
+        unet_params = unet.init(
+            key, sample, jnp.zeros((2,), jnp.int32), skel, num_frames=2
+        )
+        vae_params = vae.init(
+            key, jnp.zeros((1, min_image, min_image, 3), unet.dtype)
+        )
+        return {"unet": cast(unet_params), "vae": cast(vae_params)}
+
+    return _init(jax.random.PRNGKey(seed))
 
 
 def load_pipeline(
