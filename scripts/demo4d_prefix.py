@@ -32,6 +32,15 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main() -> None:
+    import logging
+
+    # the sampler reports per-wave progress at INFO — without this a
+    # multi-hour prefix run is silent until the end-of-budget summary
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s",
+        datefmt="%H:%M:%S",
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None)
     ap.add_argument("--out", default="/tmp/d4d_4d_prefix_out")
