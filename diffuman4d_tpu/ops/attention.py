@@ -125,9 +125,29 @@ def dot_product_attention(
       * "auto"   — Pallas flash kernel on TPU when shapes allow, else XLA
       * "pallas" — force the Pallas kernel
       * "xla"    — force the reference XLA path
+      * "train"  — differentiable Pallas kernel (hand-written dq/dk/dv
+        backward, ops/flash_backward.py) on TPU; XLA elsewhere. The
+        inference-tuned v3-v6 kernels have no VJP, and XLA attention
+        materializes the (S, S) scores at the 3D shapes
     """
     if implementation == "xla":
         return _xla_attention(q, k, v)
+
+    if implementation == "train":
+        from diffuman4d_tpu.ops.flash_attention import flash_supported
+        from diffuman4d_tpu.ops.flash_backward import flash_attention_train
+
+        s, sk = q.shape[1], k.shape[1]
+        bq = next((b for b in (1024, 512, 256, 128) if s % b == 0), None)
+        bk = next((b for b in (512, 256, 128) if sk % b == 0), None)
+        if (
+            jax.default_backend() == "cpu"
+            or not flash_supported(q, k, v)
+            or bq is None
+            or bk is None
+        ):
+            return _xla_attention(q, k, v)
+        return flash_attention_train(q, k, v, bq, bk, False)
 
     if implementation in ("auto", "pallas", "bundled"):
         from diffuman4d_tpu.ops.flash_attention import (

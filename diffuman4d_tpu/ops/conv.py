@@ -259,7 +259,13 @@ def conv3x3(
     if shift is None:
         shift = jnp.zeros((B, Cin), jnp.float32)
     has_res = residual is not None
-    res = residual if has_res else jnp.zeros((B, 1, 1, Cout), x.dtype)
+    # residual is DMA'd into an x.dtype scratch — a mismatched caller dtype
+    # (e.g. fp32 residual with bf16 conv) would trip Mosaic at trace time
+    res = (
+        residual.astype(x.dtype)
+        if has_res
+        else jnp.zeros((B, 1, 1, Cout), x.dtype)
+    )
     return _conv3x3_p(
         silu, has_affine, has_res, TR, interpret, x, w, bias, scale, shift,
         res,

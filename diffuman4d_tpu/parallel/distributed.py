@@ -127,20 +127,33 @@ def put_sharded(mesh, spec, x):
     return jax.make_array_from_process_local_data(sharding, arr)
 
 
-def replicate_to_host(x) -> np.ndarray:
+def replicate_to_host(x, raw_bf16: bool = False) -> np.ndarray:
     """Fetch a (possibly multi-process global) array to host numpy,
-    resharding to fully-replicated on device first. fp32 cast happens on
-    device (numpy's ml_dtypes bf16 path crawls — STATUS_r2)."""
+    resharding to fully-replicated on device first. bf16 inputs are cast
+    to fp32 on device (numpy's ml_dtypes bf16 path crawls — STATUS_r2) —
+    or, with ``raw_bf16``, bitcast to uint16 on device and returned as
+    the raw bf16 bit patterns (half the transfer bytes; callers bitcast
+    back on device, see sampler.save_state)."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if not isinstance(x, jax.Array):
         return np.asarray(x)
-    dt = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    if x.dtype == jnp.bfloat16:
+        # eager ops (cached by the C++ dispatch fastpath — a fresh jit
+        # here would retrace per call)
+        x = (
+            jax.lax.bitcast_convert_type(x, jnp.uint16)
+            if raw_bf16
+            else x.astype(jnp.float32)
+        )
     if x.is_fully_addressable and x.sharding.num_devices == 1:
-        return np.asarray(x.astype(dt))
+        return np.asarray(x)
+    # mesh-global arrays: reshard to fully-replicated under jit (device_put
+    # cross-process resharding is version-fragile). The identity trace per
+    # call is cheap; the compile hits the persistent cache.
     rep = NamedSharding(x.sharding.mesh, P())
-    out = jax.jit(lambda a: a.astype(dt), out_shardings=rep)(x)
+    out = jax.jit(lambda a: a, out_shardings=rep)(x)
     return np.asarray(out.addressable_data(0))
 
 

@@ -787,6 +787,8 @@ class Diffuman4DPipeline:
     def sliding_denoise_batch(self, cond_b, latents_b, t_idx_b, windows, domain,
                               aux_b=None, mesh=None):
         """Batched tasks, optionally sharded over a mesh 'data' axis."""
+        from diffuman4d_tpu.utils.tracing import phase
+
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -795,11 +797,12 @@ class Diffuman4DPipeline:
             # multi-process safe: already-sharded arrays pass through,
             # host-global arrays are fed from this process's data rows
             put = lambda x: put_sharded(mesh, P("data"), x)
-            cond_b = jax.tree.map(put, cond_b)
-            latents_b = put(latents_b)
-            t_idx_b = put(t_idx_b)
-            if aux_b is not None:
-                aux_b = jax.tree.map(put, aux_b)
+            with phase("pipe/put_sharded", sync=False):
+                cond_b = jax.tree.map(put, cond_b)
+                latents_b = put(latents_b)
+                t_idx_b = put(t_idx_b)
+                if aux_b is not None:
+                    aux_b = jax.tree.map(put, aux_b)
         # streaming skeleton source never enters the denoise jit — pose
         # features are computed per window chunk (see _chunk_cond*)
         cond_b = dict(cond_b)
@@ -831,33 +834,35 @@ class Diffuman4DPipeline:
                 else self.params["unet"]
             )
             if stream:
-                U, wc = self._chunk_rows(windows[i : i + c], pad_u)
-                cond_c = self._chunk_batch_j(
-                    unet_params,
-                    {k: v for k, v in cond_b.items()
-                     if k != "neg_pose_feature"},
-                    skel_u8,
-                    # numpy: committed single-device arrays cannot join a
-                    # global-mesh jit under multi-process (same as windows)
-                    U,
-                )
-                if "neg_pose_feature" in cond_b:
-                    cond_c["neg_pose_feature"] = cond_b["neg_pose_feature"]
+                with phase("pipe/chunk_cond", sync=False):
+                    U, wc = self._chunk_rows(windows[i : i + c], pad_u)
+                    cond_c = self._chunk_batch_j(
+                        unet_params,
+                        {k: v for k, v in cond_b.items()
+                         if k != "neg_pose_feature"},
+                        skel_u8,
+                        # numpy: committed single-device arrays cannot join a
+                        # global-mesh jit under multi-process (same as windows)
+                        U,
+                    )
+                    if "neg_pose_feature" in cond_b:
+                        cond_c["neg_pose_feature"] = cond_b["neg_pose_feature"]
             else:
                 cond_c, wc = cond_b, None
-            latents_b, t_b, aux_ret = self._sliding_batch_j(
-                unet_params,
-                cond_c,
-                latents_b,
-                t_b,
-                # numpy (not jnp.asarray): a committed single-device array
-                # cannot join a global-mesh jit under multi-process
-                windows[i : i + c],
-                aux_b,
-                wc,
-                domain=domain,
-                num_denoising_steps=self.sliding.num_denoising_steps,
-            )
+            with phase("pipe/chunk_dispatch", sync=False):
+                latents_b, t_b, aux_ret = self._sliding_batch_j(
+                    unet_params,
+                    cond_c,
+                    latents_b,
+                    t_b,
+                    # numpy (not jnp.asarray): a committed single-device array
+                    # cannot join a global-mesh jit under multi-process
+                    windows[i : i + c],
+                    aux_b,
+                    wc,
+                    domain=domain,
+                    num_denoising_steps=self.sliding.num_denoising_steps,
+                )
             if aux_b is not None:
                 aux_b = aux_ret
         return latents_b, t_b, aux_ret
@@ -933,6 +938,10 @@ class Diffuman4DPipeline:
         # preallocate + per-chunk copy: np.concatenate's fresh 100+ MB
         # allocation first-touch-faults at 22-74 MB/s on this host
         # (CLAUDE.md); the tuned allocator + incremental writes don't
+        if not chunks:
+            return np.empty(
+                (0, self.image_size, self.image_size, 3), np.uint8
+            )
         n = sum(m for _, m in chunks)
         first = np.asarray(chunks[0][0])
         out = np.empty((n,) + first.shape[1:], first.dtype)

@@ -168,6 +168,12 @@ class SlidingIterativeSampler:
     def _state_path(self) -> str:
         import os.path as osp
 
+        return osp.join(self.output_dir, "state", "grid_state.d4d")
+
+    @property
+    def _legacy_state_path(self) -> str:
+        import os.path as osp
+
         return osp.join(self.output_dir, "state", "grid_state.npz")
 
     def save_state(self, tasks_done: int = 0) -> None:
@@ -177,65 +183,116 @@ class SlidingIterativeSampler:
         them. Tasks within a round touch disjoint grid cells and use
         per-(round, task-index) deterministic keys, so a prefix count fully
         identifies the state (the reference loses everything on a kill —
-        its grid lives only in RAM, sliding_iterative_sampler.py:181-185)."""
-        import os
-        import os.path as osp
+        its grid lives only in RAM, sliding_iterative_sampler.py:181-185).
 
+        Cost: bf16 grids travel device->host as raw uint16 bit patterns
+        (half the bytes, no cast anywhere) and land in a raw-blob container
+        (io/gridstate.py) with one large write per array — the old
+        fp32-cast + np.savez path wrote the 1.8 GB demo_4d grid at
+        ~6.4 MB/s (280 s, prefix_r4); this is transfer- + disk-bound."""
         import jax
 
+        from diffuman4d_tpu.io.gridstate import write_state
         from diffuman4d_tpu.parallel.distributed import replicate_to_host
+        from diffuman4d_tpu.utils.tracing import phase
 
-        # cast to fp32 ON DEVICE: numpy's ml_dtypes bf16->fp32 runs at
-        # ~MB/s on host, so transferring fp32 (2x bytes, no host cast) wins.
-        # replicate_to_host also handles multi-process global grids; every
-        # process participates in the reshard, only process 0 writes.
-        lat = replicate_to_host(self.grid_latents).astype(np.float32)
-        extra = {}
-        if self.grid_aux is not None:
-            # dpm++ multistep history must survive resume too
-            extra = {
-                f"aux_{k}": replicate_to_host(v).astype(np.float32)
-                for k, v in self.grid_aux.items()
+        bf16_names: list[str] = []
+
+        def fetch(name, x):
+            if getattr(x, "dtype", None) == jnp.bfloat16:
+                bf16_names.append(name)
+            # replicate_to_host handles multi-process global grids; every
+            # process participates in the reshard, only process 0 writes
+            return replicate_to_host(x, raw_bf16=True)
+
+        with phase("save_state/d2h", sync=False):
+            arrays = {
+                "latents": fetch("latents", self.grid_latents),
+                "t_idx": np.ascontiguousarray(self.grid_t_idx),
             }
+            if self.grid_aux is not None:
+                # dpm++ multistep history must survive resume too
+                for k, v in self.grid_aux.items():
+                    arrays[f"aux_{k}"] = fetch(f"aux_{k}", v)
         if jax.process_index() != 0:
             return
-        os.makedirs(osp.dirname(self._state_path), exist_ok=True)
-        # uncompressed: denoising latents are ~incompressible noise, and
-        # deflate on this 1-core host costs minutes per GB for ~0% gain
-        np.savez(
-            self._state_path + ".tmp.npz",
-            latents=lat,
-            t_idx=self.grid_t_idx,
-            completed_rounds=self._completed_rounds,
-            tasks_done_in_round=tasks_done,
-            seed=self.seed,
-            **extra,
-        )
-        os.replace(self._state_path + ".tmp.npz", self._state_path)
+        meta = {
+            "seed": self.seed,
+            "completed_rounds": int(self._completed_rounds),
+            "tasks_done_in_round": int(tasks_done),
+            "bf16_bits": bf16_names,
+        }
+        with phase("save_state/write", sync=False):
+            write_state(self._state_path, meta, arrays)
 
     def _try_resume(self) -> bool:
         import os.path as osp
 
-        if not osp.isfile(self._state_path):
+        if osp.isfile(self._state_path):
+            return self._resume_from_d4d()
+        if osp.isfile(self._legacy_state_path):
+            return self._resume_from_npz()
+        return False
+
+    def _restore_aux(self, keys, get) -> bool:
+        """Common aux restore: ``keys`` = aux names present in the state,
+        ``get(k)`` -> device-ready array for aux key ``k``."""
+        if self.grid_aux is None:
+            return True
+        if set(keys) != set(self.grid_aux):
+            print("[sampler] state lacks multistep history — ignoring state")
             return False
-        data = np.load(self._state_path)
+        self.grid_aux = {k: get(k) for k in self.grid_aux}
+        return True
+
+    def _resume_from_d4d(self) -> bool:
+        import jax
+
+        from diffuman4d_tpu.io.gridstate import read_state
+
+        meta, data = read_state(self._state_path)
+        if int(meta["seed"]) != self.seed or tuple(
+            data["latents"].shape
+        ) != tuple(self.grid_latents.shape):
+            print("[sampler] found grid state with mismatched seed/shape — ignoring")
+            return False
+        bf16 = set(meta.get("bf16_bits", []))
+
+        def to_dev(name, dtype):
+            a = jnp.asarray(np.ascontiguousarray(data[name]))
+            if name in bf16:
+                a = jax.lax.bitcast_convert_type(a, jnp.bfloat16)
+            return a.astype(dtype)
+
+        if not self._restore_aux(
+            [k[4:] for k in data if k.startswith("aux_")],
+            lambda k: to_dev(f"aux_{k}", self.grid_aux[k].dtype),
+        ):
+            return False
+        self.grid_latents = to_dev("latents", self.grid_latents.dtype)
+        self.grid_t_idx = np.array(data["t_idx"], np.int32)
+        self._completed_rounds = int(meta["completed_rounds"])
+        self._resume_tasks_done = int(meta.get("tasks_done_in_round", 0))
+        print(
+            f"[sampler] resumed after round {self._completed_rounds}"
+            + (f" + {self._resume_tasks_done} tasks"
+               if self._resume_tasks_done else "")
+        )
+        return True
+
+    def _resume_from_npz(self) -> bool:
+        """Legacy np.savez states (pre-r5 runs)."""
+        data = np.load(self._legacy_state_path)
         if int(data["seed"]) != self.seed or data["latents"].shape != tuple(
             self.grid_latents.shape
         ):
-            log_msg = (
-                "[sampler] found grid state with mismatched seed/shape — ignoring"
-            )
-            print(log_msg)
+            print("[sampler] found grid state with mismatched seed/shape — ignoring")
             return False
-        if self.grid_aux is not None:
-            aux_keys = {k[4:] for k in data.files if k.startswith("aux_")}
-            if aux_keys != set(self.grid_aux):
-                print("[sampler] state lacks multistep history — ignoring state")
-                return False
-            self.grid_aux = {
-                k: jnp.asarray(data[f"aux_{k}"], self.grid_aux[k].dtype)
-                for k in self.grid_aux
-            }
+        if not self._restore_aux(
+            [k[4:] for k in data.files if k.startswith("aux_")],
+            lambda k: jnp.asarray(data[f"aux_{k}"], self.grid_aux[k].dtype),
+        ):
+            return False
         self.grid_latents = jnp.asarray(data["latents"], self.grid_latents.dtype)
         self.grid_t_idx = data["t_idx"].astype(np.int32)
         self._completed_rounds = int(data["completed_rounds"])
@@ -579,6 +636,20 @@ class SlidingIterativeSampler:
         the small timestep-index grid is kept host-replicated via an
         on-device all-gather. Replaces the reference's one-machine
         multi-GPU runner (sampling_runner.py:26-43)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # decode+jpeg of finished cells runs on a saver thread so round-3
+        # output writes overlap the next wave's denoise (same contract as
+        # the single-device path: flushed before any checkpoint)
+        self._saver = ThreadPoolExecutor(max_workers=1)
+        try:
+            self._execute_waves(mesh, key)
+            self._flush_saves()
+        finally:
+            self._saver.shutdown(wait=True)
+            self._saver = None
+
+    def _execute_waves(self, mesh, key=None) -> None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -665,17 +736,21 @@ class SlidingIterativeSampler:
                 prep = self._prepare_wave(
                     round_idx, tasks, wave_starts[0], n_wave, my_rows
                 )
+            from diffuman4d_tpu.utils.tracing import phase
+
             for w_num, i in enumerate(wave_starts):
                 padded, samples, conds, cells = prep
                 n_real = min(n_wave, len(tasks) - i)
 
-                cond_b = _stack_conds(conds)
-                spa_b = np.stack([s for s, _ in cells])
-                tem_b = np.stack([t for _, t in cells])
-                lat_b = gather_j(self.grid_latents, spa_b, tem_b)
-                ti_b = np.stack(
-                    [self.grid_t_idx[s, t] for s, t in cells]
-                )
+                with phase("wave/stack_conds", sync=False):
+                    cond_b = _stack_conds(conds)
+                with phase("wave/gather", sync=False):
+                    spa_b = np.stack([s for s, _ in cells])
+                    tem_b = np.stack([t for _, t in cells])
+                    lat_b = gather_j(self.grid_latents, spa_b, tem_b)
+                    ti_b = np.stack(
+                        [self.grid_t_idx[s, t] for s, t in cells]
+                    )
                 windows = self._windows_for(padded[0], cells[0][0].shape[0])
 
                 # schedule invariants per task (pipeline_diffuman4d.py:480-487)
@@ -693,19 +768,21 @@ class SlidingIterativeSampler:
                 if self.grid_aux is not None:
                     aux_in = gather_j(self.grid_aux, spa_b, tem_b)
                 # async dispatch — host continues while devices denoise
-                lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
-                    cond_b, lat_b, ti_b, windows, padded[0].domain,
-                    aux_b=aux_in, mesh=mesh,
-                )
+                with phase("wave/dispatch", sync=False):
+                    lat_b, ti_b_new, aux_b = self.pipeline.sliding_denoise_batch(
+                        cond_b, lat_b, ti_b, windows, padded[0].domain,
+                        aux_b=aux_in, mesh=mesh,
+                    )
                 # device-side scatter (duplicate padded cells write identical
                 # values, so the scatter is well-defined)
-                self.grid_latents = scatter_j(
-                    self.grid_latents, spa_b, tem_b, lat_b
-                )
-                if self.grid_aux is not None:
-                    self.grid_aux = scatter_j(
-                        self.grid_aux, spa_b, tem_b, aux_b
+                with phase("wave/scatter", sync=False):
+                    self.grid_latents = scatter_j(
+                        self.grid_latents, spa_b, tem_b, lat_b
                     )
+                    if self.grid_aux is not None:
+                        self.grid_aux = scatter_j(
+                            self.grid_aux, spa_b, tem_b, aux_b
+                        )
 
                 # overlap: prep the NEXT wave's host work before blocking on
                 # this wave's results
@@ -713,8 +790,6 @@ class SlidingIterativeSampler:
                     prep = self._prepare_wave(
                         round_idx, tasks, wave_starts[w_num + 1], n_wave, my_rows
                     )
-
-                from diffuman4d_tpu.utils.tracing import phase
 
                 t_wave = time.perf_counter()
                 with phase("wave/denoise_block", sync=False):
@@ -730,10 +805,14 @@ class SlidingIterativeSampler:
                     if samples[k] is None:
                         continue  # saved by the owning process
                     with phase("wave/save_outputs", sync=False):
-                        self._save_task_outputs(
-                            padded[k], samples[k],
-                            lat_b[k] if lat_local is None else lat_local[k],
-                            ti_host[k],
+                        # saver thread: decode+jpeg overlap the next wave
+                        self._save_futs.append(
+                            self._saver.submit(
+                                self._save_task_outputs,
+                                padded[k], samples[k],
+                                lat_b[k] if lat_local is None else lat_local[k],
+                                ti_host[k],
+                            )
                         )
                 log.info(
                     "round %d/%d (%s): tasks %d-%d/%d done (wave sync+save "
@@ -762,6 +841,9 @@ class SlidingIterativeSampler:
                     )
                 ):
                     with phase("wave/save_state", sync=False):
+                        # outputs must be on disk before the state claims
+                        # their tasks (resume correctness)
+                        self._flush_saves()
                         self.save_state(tasks_done=done)
                 if budget_out and done < len(tasks):
                     log.info(
@@ -770,6 +852,7 @@ class SlidingIterativeSampler:
                         self.task_budget, round_idx + 1, done, len(tasks),
                     )
                     return
+            self._flush_saves()
             self._completed_rounds = round_idx + 1
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:

@@ -92,14 +92,16 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
 
                 shard = NamedSharding(mesh, P("data"))
                 batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
-            if host_ema is not None:
-                # fold the params staged after the PREVIOUS step while the
-                # device runs this one; fold blocks on the D2H, so by the
-                # time a donating step reuses the buffer the copy retired
-                host_ema.fold()
             state, metrics = steps[domain](state, batch, k_step)
-            if host_ema is not None and host_ema.should_update(step_i):
-                host_ema.stage(state.params["params"])
+            if host_ema is not None:
+                # dispatch first (async), THEN fold the params staged after
+                # the previous step — the multi-GB fp32 host fold overlaps
+                # device compute. Safe because these steps don't donate
+                # their input state; a donating step (train_step_chip.py)
+                # must fold before dispatch instead (see ema.py docstring).
+                host_ema.fold()
+                if host_ema.should_update(step_i):
+                    host_ema.stage(state.params["params"])
 
             if step_i % loop_cfg.log_every == 0:
                 rec = {
@@ -167,9 +169,27 @@ def _restore_state(path: str, template, host_ema=None):
 
     ckptr = ocp.StandardCheckpointer()
     tree = _state_to_tree(template, host_ema)
-    restored = ckptr.restore(osp.abspath(path), tree)
+    try:
+        restored = ckptr.restore(osp.abspath(path), tree)
+    except Exception:
+        # a checkpoint written before EMA was enabled has no ema_params;
+        # restore without it and seed the shadow from the params instead
+        # (otherwise orbax raises an opaque structure-mismatch error)
+        if "ema_params" not in tree:
+            raise
+        tree.pop("ema_params")
+        restored = ckptr.restore(osp.abspath(path), tree)
+        restored["ema_params"] = None
+        log.info(
+            "state checkpoint %s lacks ema_params — seeding the EMA "
+            "shadow from the restored params", path,
+        )
     if host_ema is not None:
-        host_ema.load(restored["ema_params"])
+        host_ema.load(
+            restored["ema_params"]
+            if restored.get("ema_params") is not None
+            else restored["params"]["params"]
+        )
     return TrainState(
         restored["params"], restored["opt_state"], restored["step"],
         None if host_ema is not None else restored.get("ema_params"),

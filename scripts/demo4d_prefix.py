@@ -4,7 +4,7 @@ process restarts (VERDICT r3 next-item #4).
 Runs the production 48x150 demo_4d schedule (window 12, stride 2 —
 configs/exp/demo_4d.yaml) through the sampler's OWN wave executor with a
 per-invocation task budget: each run continues from the last intra-round
-`grid_state.npz` checkpoint, executes up to ``--task-budget`` tasks with
+grid-state checkpoint, executes up to ``--task-budget`` tasks with
 prefetch overlap and periodic checkpoints, then stops cleanly. Re-running
 the script IS the deliberate-restart resume proof — a fresh process, a
 fresh sampler, the same grid.
@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/d4d_4d_prefix_out")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--task-budget", type=int, default=24)
+    ap.add_argument("--checkpoint-every", type=int, default=24,
+                    help="intra-round grid-state cadence in tasks")
     ap.add_argument("--report", action="store_true",
                     help="skip sampling; dump progress + run metrics/export")
     args = ap.parse_args()
@@ -100,6 +102,7 @@ def main() -> None:
         spa_label_range=(0, 48, 1), tem_label_range=(0, 150, 1),
         input_spa_labels=[1, 13, 25, 37],
         task_budget=None if args.report else args.task_budget,
+        checkpoint_every_tasks=args.checkpoint_every,
     )
     done_rounds = sampler._completed_rounds
     done_tasks = sampler._resume_tasks_done
@@ -116,9 +119,9 @@ def main() -> None:
             "tasks_done_in_round": done_tasks,
             "cells_in_flight": int((sampler.grid_t_idx > 0).sum()),
             "cells_total": int(sampler.grid_t_idx.size),
-            "state_path": sampler._state_path(),
-            "state_mb": round(osp.getsize(sampler._state_path()) / 2**20, 1)
-            if osp.isfile(sampler._state_path()) else None,
+            "state_path": sampler._state_path,
+            "state_mb": round(osp.getsize(sampler._state_path) / 2**20, 1)
+            if osp.isfile(sampler._state_path) else None,
         }
         try:
             ns = export_to_nerfstudio(
@@ -142,6 +145,11 @@ def main() -> None:
         f"now at round {sampler._completed_rounds} "
         f"+ {int((sampler.grid_t_idx > 0).sum())} cells in flight"
     )
+    if sampler._completed_rounds == len(sampler.all_tasks):
+        # execute_tasks_parallel ran (and passed) the 7,200-image
+        # completeness check before returning (sampling_utils.py:117-129)
+        print("[prefix] SAMPLING COMPLETE: all rounds done, "
+              "output grid complete", flush=True)
     from diffuman4d_tpu.utils.tracing import dump_report, report
 
     if report():

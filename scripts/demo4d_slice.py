@@ -191,7 +191,7 @@ def main() -> None:
 
     tt = time.perf_counter()
     sampler.save_state()
-    st = osp.join(args.out, "state", "grid_state.npz")
+    st = osp.join(args.out, "state", "grid_state.d4d")
     sz = osp.getsize(st) / (1 << 20)
     mark(f"grid_state checkpoint: {sz:.0f} MB, {time.perf_counter() - tt:.1f}s")
 

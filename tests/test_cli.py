@@ -48,4 +48,4 @@ def test_cli_end_to_end(tmp_path):
     # config tree log written
     assert osp.isfile(out / "config_tree.log")
     # resume state checkpointed
-    assert osp.isfile(out / "state" / "grid_state.npz")
+    assert osp.isfile(out / "state" / "grid_state.d4d")
