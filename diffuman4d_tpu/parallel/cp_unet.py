@@ -88,3 +88,69 @@ def make_cp_unet_apply(unet: UNetMultiviewCondition, mesh, axis: str = "model"):
         )(params, x, t, tem)
 
     return apply_fn
+
+
+# ---------------------------------------------------------------------------
+# communication budget: the analytical model behind docs/SCALING.md
+# ---------------------------------------------------------------------------
+def three_d_attention_layers(cfg) -> list[tuple[int, int]]:
+    """(downscale_exponent, n_transformer_layers) for every UNet stage
+    whose attention runs in 3D (cross-frame) mode — the only stages that
+    communicate under context parallelism (K/V all-gathers in
+    ops/context_parallel.cp_attention_grouped; everything else is
+    frame-local). Mirrors the forward's gating exactly
+    (models/unet.py: down ``n_blocks-i-1 < k``, mid always, up ``i < k``;
+    reference unet_multiview_condition.py:560/570/582)."""
+    n_blocks = len(cfg.block_out_channels)
+    k = cfg.num_3d_attn_blocks
+    out = []
+    for i in range(n_blocks - 1):  # CrossAttn down blocks
+        if n_blocks - i - 1 < k:
+            out.append((i, cfg.layers_per_block * cfg.transformer_layers_per_block))
+    out.append((n_blocks - 1, cfg.transformer_layers_per_block))  # mid
+    for i in range(1, n_blocks):  # CrossAttn up blocks
+        if i < k:
+            out.append(
+                (n_blocks - 1 - i,
+                 (cfg.layers_per_block + 1) * cfg.transformer_layers_per_block)
+            )
+    return out
+
+
+def cp_comm_budget(cfg, num_frames: int, latent_hw: int, groups: int = 2,
+                   n_model: int = 2, dtype_bytes: int = 2) -> dict:
+    """Per-window-step CP communication budget at a given topology.
+
+    Returns per-stage and total all-gather bytes *received per chip* for
+    one UNet forward (K and V each all-gathered once per 3D transformer
+    layer; each chip receives (n-1)/n of the full gathered size). The
+    expected collective count is what tests/test_cp_unet.py pins against
+    the lowered program."""
+    stages = three_d_attention_layers(cfg)
+    per_stage = []
+    total_rx = 0
+    n_layers_total = 0
+    for stage_idx, n_layers in stages:
+        hw = (latent_hw // (2**stage_idx)) ** 2
+        heads = cfg.num_attention_heads[stage_idx]
+        d = cfg.block_out_channels[stage_idx] // heads
+        s_full = num_frames * hw  # tokens per group (CFG half)
+        kv_full = 2 * groups * s_full * heads * d * dtype_bytes  # K + V
+        rx = kv_full * (n_model - 1) // n_model * n_layers
+        total_rx += rx
+        n_layers_total += n_layers
+        per_stage.append(
+            {
+                "stage_hw": latent_hw // (2**stage_idx),
+                "layers": n_layers,
+                "tokens_per_group": s_full,
+                "kv_bytes_full": kv_full,
+                "rx_bytes_per_chip": rx,
+            }
+        )
+    return {
+        "stages": per_stage,
+        "n_3d_layers": n_layers_total,
+        "expected_all_gathers": 2 * n_layers_total,  # K and V
+        "rx_bytes_per_chip_total": total_rx,
+    }

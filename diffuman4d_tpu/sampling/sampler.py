@@ -152,10 +152,13 @@ class SlidingIterativeSampler:
         # multi-process completeness check unions these across processes
         # (each process saves only its own tasks' outputs)
         self._saved_cells: set[tuple[str, str]] = set()
-        # async output saver (single-device execute_tasks only; the wave
-        # executor has its own phased save path)
+        # async output saver (created per execution path)
         self._saver = None
         self._save_futs: list = []
+        # host mirror of the grid for cheap checkpoints (see save_state);
+        # seeded lazily (free at resume — the state file's bytes) and kept
+        # fresh by _mirror_update at every grid write-back
+        self._host_mirror: dict | None = None
         if resume and self._try_resume():
             pass
 
@@ -176,6 +179,55 @@ class SlidingIterativeSampler:
 
         return osp.join(self.output_dir, "state", "grid_state.npz")
 
+    # -- host mirror -----------------------------------------------------
+    # The relay's device->host path runs at ~18 MB/s (measured r5:
+    # fetching the 0.9 GB demo_4d grid = 49-51 s per checkpoint even as
+    # raw bf16 bits). Single-process runs therefore keep a HOST MIRROR of
+    # the grid: one full fetch seeds it (at resume it seeds free from the
+    # state file's bytes), then each wave folds in only its own cells
+    # (~13 MB/task, transfer started async behind the wave's denoise).
+    # save_state then writes the mirror — disk-bound, no big D2H.
+    @staticmethod
+    def _to_host_bits(x) -> np.ndarray:
+        """Device array -> host numpy, bf16 as uint16 bit patterns."""
+        import jax
+
+        if getattr(x, "dtype", None) == jnp.bfloat16:
+            x = jax.lax.bitcast_convert_type(x, jnp.uint16)
+        return np.asarray(x)
+
+    def _mirror_names(self) -> list[str]:
+        names = ["latents"]
+        if self.grid_aux is not None:
+            names += [f"aux_{k}" for k in self.grid_aux]
+        return names
+
+    def _mirror_grids(self) -> dict:
+        grids = {"latents": self.grid_latents}
+        if self.grid_aux is not None:
+            grids.update({f"aux_{k}": v for k, v in self.grid_aux.items()})
+        return grids
+
+    def _seed_mirror_from_device(self) -> None:
+        """One full-grid fetch (once per session; ~50 s for demo_4d)."""
+        from diffuman4d_tpu.parallel.distributed import replicate_to_host
+
+        # np.array copy: replicate_to_host returns jax's read-only host
+        # view; the mirror needs its own writable buffer
+        self._host_mirror = {
+            name: np.array(replicate_to_host(g, raw_bf16=True))
+            for name, g in self._mirror_grids().items()
+        }
+
+    def _mirror_update(self, spa: np.ndarray, tem: np.ndarray,
+                       updates: dict) -> None:
+        """Fold one task's cells into the mirror. ``updates`` maps mirror
+        name -> device (or host) array of shape (len(spa), ...)."""
+        if self._host_mirror is None:
+            return
+        for name, val in updates.items():
+            self._host_mirror[name][spa, tem] = self._to_host_bits(val)
+
     def save_state(self, tasks_done: int = 0) -> None:
         """Persist the grid. ``tasks_done`` > 0 marks an intra-round
         checkpoint: that many tasks of round ``_completed_rounds`` (0-based
@@ -185,37 +237,41 @@ class SlidingIterativeSampler:
         identifies the state (the reference loses everything on a kill —
         its grid lives only in RAM, sliding_iterative_sampler.py:181-185).
 
-        Cost: bf16 grids travel device->host as raw uint16 bit patterns
-        (half the bytes, no cast anywhere) and land in a raw-blob container
-        (io/gridstate.py) with one large write per array — the old
+        Cost: bf16 grids are stored as raw uint16 bit patterns in a
+        raw-blob container (io/gridstate.py) with one large write per
+        array. Single-process runs source the bytes from the incrementally
+        maintained host mirror (no big D2H at all — see _mirror_update);
+        multi-process runs fall back to the collective fetch. The old
         fp32-cast + np.savez path wrote the 1.8 GB demo_4d grid at
-        ~6.4 MB/s (280 s, prefix_r4); this is transfer- + disk-bound."""
+        ~6.4 MB/s (280 s, prefix_r4)."""
         import jax
 
         from diffuman4d_tpu.io.gridstate import write_state
         from diffuman4d_tpu.parallel.distributed import replicate_to_host
         from diffuman4d_tpu.utils.tracing import phase
 
-        bf16_names: list[str] = []
-
-        def fetch(name, x):
-            if getattr(x, "dtype", None) == jnp.bfloat16:
-                bf16_names.append(name)
-            # replicate_to_host handles multi-process global grids; every
-            # process participates in the reshard, only process 0 writes
-            return replicate_to_host(x, raw_bf16=True)
-
+        multi = jax.process_count() > 1
+        grids = self._mirror_grids()
+        bf16_names = [
+            n for n, g in grids.items()
+            if getattr(g, "dtype", None) == jnp.bfloat16
+        ]
         with phase("save_state/d2h", sync=False):
-            arrays = {
-                "latents": fetch("latents", self.grid_latents),
-                "t_idx": np.ascontiguousarray(self.grid_t_idx),
-            }
-            if self.grid_aux is not None:
-                # dpm++ multistep history must survive resume too
-                for k, v in self.grid_aux.items():
-                    arrays[f"aux_{k}"] = fetch(f"aux_{k}", v)
+            if multi:
+                # every process participates in the reshard collective;
+                # only process 0 writes
+                arrays = {
+                    n: self._to_host_bits(replicate_to_host(g, raw_bf16=True))
+                    for n, g in grids.items()
+                }
+            else:
+                if self._host_mirror is None:
+                    self._seed_mirror_from_device()
+                arrays = self._host_mirror
         if jax.process_index() != 0:
             return
+        arrays = dict(arrays)
+        arrays["t_idx"] = np.ascontiguousarray(self.grid_t_idx)
         meta = {
             "seed": self.seed,
             "completed_rounds": int(self._completed_rounds),
@@ -271,6 +327,21 @@ class SlidingIterativeSampler:
             return False
         self.grid_latents = to_dev("latents", self.grid_latents.dtype)
         self.grid_t_idx = np.array(data["t_idx"], np.int32)
+        # seed the host mirror for free from the file's own bytes — but
+        # only when they bit-match the live grids (u16 bits <-> bf16 grid,
+        # or plain matching dtype)
+        import jax
+
+        if jax.process_count() == 1:
+            grids = self._mirror_grids()
+            if all(
+                (n in bf16 and grids[n].dtype == jnp.bfloat16)
+                or (n not in bf16 and data[n].dtype == grids[n].dtype)
+                for n in self._mirror_names()
+            ):
+                self._host_mirror = {
+                    n: np.array(data[n]) for n in self._mirror_names()
+                }
         self._completed_rounds = int(meta["completed_rounds"])
         self._resume_tasks_done = int(meta.get("tasks_done_in_round", 0))
         print(
@@ -449,6 +520,11 @@ class SlidingIterativeSampler:
             self.grid_aux = jax.tree.map(
                 lambda g, u: g.at[spa, tem].set(u), self.grid_aux, aux
             )
+        if self._host_mirror is not None:
+            upd = {"latents": latents}
+            if aux is not None:
+                upd.update({f"aux_{k}": v for k, v in aux.items()})
+            self._mirror_update(spa, tem, upd)
 
         t_np = np.asarray(t_idx)  # blocks on the task's denoise chain
         if save_async and self._saver is not None:
@@ -783,6 +859,26 @@ class SlidingIterativeSampler:
                         self.grid_aux = scatter_j(
                             self.grid_aux, spa_b, tem_b, aux_b
                         )
+                # stage the wave's cells for the host mirror: bitcast now,
+                # start the (relay-slow, ~18 MB/s) D2H behind the denoise
+                mirror_stage = None
+                if self._host_mirror is not None and not multi:
+                    mirror_stage = {
+                        "latents": jax.lax.bitcast_convert_type(
+                            lat_b, jnp.uint16
+                        ) if lat_b.dtype == jnp.bfloat16 else lat_b
+                    }
+                    if self.grid_aux is not None:
+                        for k2, v2 in aux_b.items():
+                            mirror_stage[f"aux_{k2}"] = (
+                                jax.lax.bitcast_convert_type(v2, jnp.uint16)
+                                if v2.dtype == jnp.bfloat16 else v2
+                            )
+                    for v2 in mirror_stage.values():
+                        try:
+                            v2.copy_to_host_async()
+                        except Exception:  # noqa: BLE001 — relay may decline
+                            pass
 
                 # overlap: prep the NEXT wave's host work before blocking on
                 # this wave's results
@@ -799,6 +895,15 @@ class SlidingIterativeSampler:
                         allrep_j(ti_b_new).addressable_data(0)
                     )
                 lat_local = self._local_wave_rows(lat_b) if multi else None
+                if mirror_stage is not None:
+                    with phase("wave/mirror", sync=False):
+                        host_vals = {
+                            n: np.asarray(v) for n, v in mirror_stage.items()
+                        }
+                        for k in range(n_real):
+                            s_idx, t_cells = cells[k]
+                            for n, v in host_vals.items():
+                                self._host_mirror[n][s_idx, t_cells] = v[k]
                 for k in range(n_real):
                     s_idx, t_idx_cells = cells[k]
                     self.grid_t_idx[s_idx, t_idx_cells] = ti_host[k]

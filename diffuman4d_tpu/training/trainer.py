@@ -60,6 +60,13 @@ class TrainConfig:
     # (training.ema.HostEMA) — the single-chip fit for ema_decay>0 at the
     # 12-frame window; the device train step then carries no EMA state
     ema_host: bool = False
+    # attention implementation for the training forward/backward. "train"
+    # = the differentiable Pallas kernel family (ops/flash_backward.py:
+    # tuned transposed-score forward + hand-written dq/dk/dv — the
+    # inference-tuned kernels have no VJP, and jax's bundled kernel runs
+    # ~70 TF/s fwd vs 103-112 tuned); falls back to XLA off-TPU. None
+    # keeps the UNet module's own setting.
+    attn_implementation: str | None = "train"
 
 
 class TrainState:
@@ -213,6 +220,11 @@ def make_train_step(
     """Returns train_step(state, batch, key) -> (state, metrics), jittable
     and shardable (batch leading axis = dp)."""
     opt = make_optimizer(cfg)
+    if (
+        cfg.attn_implementation
+        and unet.attn_implementation != cfg.attn_implementation
+    ):
+        unet = unet.clone(attn_implementation=cfg.attn_implementation)
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
         def loss_fn(p):

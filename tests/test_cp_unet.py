@@ -302,3 +302,67 @@ def test_cp_full_topology(model_par, domain):
     out = _jit_cp(make_cp_unet_apply(unet, mesh))(params, x, t, tem, pf, L)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def _count_primitive(jaxpr, name: str) -> int:
+    """Recursively count equations whose primitive is ``name``."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for v in eqn.params.values():
+            for sub in jax.tree.leaves(
+                v, is_leaf=lambda x: hasattr(x, "jaxpr") or hasattr(x, "eqns")
+            ):
+                inner = getattr(sub, "jaxpr", sub)
+                if hasattr(inner, "eqns"):
+                    n += _count_primitive(inner, name)
+    return n
+
+
+def test_cp_collective_count_matches_budget(tiny_unet):
+    """The lowered CP program must contain exactly the collectives the
+    analytical model (cp_comm_budget, docs/SCALING.md) claims: one K and
+    one V all-gather per 3D transformer layer, nothing else. Pins the
+    scaling doc's communication table to the real program."""
+    from diffuman4d_tpu.parallel.cp_unet import cp_comm_budget
+
+    unet, params = tiny_unet
+    mesh = make_mesh(data=1, model=2)
+    fn = make_cp_unet_apply(unet, mesh, axis="model")
+    L, hw = 4, 8
+    x, t, sk, tem = _inputs(L, hw=hw)
+    pf = jax.random.normal(jax.random.PRNGKey(7), (2 * L, hw, hw, 8), jnp.float32)
+
+    budget = cp_comm_budget(TINY, num_frames=L, latent_hw=hw, groups=2,
+                            n_model=2)
+    jaxpr = jax.make_jaxpr(
+        lambda p, x, t, tem, pf: fn(p, x, t, tem, L, pf)
+    )(params, x, t, tem, pf)
+    n_ag = _count_primitive(jaxpr.jaxpr, "all_gather")
+    assert n_ag == budget["expected_all_gathers"], (
+        f"lowered program has {n_ag} all_gathers, budget says "
+        f"{budget['expected_all_gathers']}"
+    )
+    # no other cross-chip collectives in the inference forward
+    for prim in ("psum", "all_to_all", "ppermute", "reduce_scatter"):
+        assert _count_primitive(jaxpr.jaxpr, prim) == 0, prim
+
+
+def test_cp_budget_production_shapes():
+    """The production-config budget used by docs/SCALING.md: 11 3D
+    transformer layers (5 @64^2, 5 @32^2, 1 @16^2 — SURVEY §3.3), 22
+    all-gathers per CFG window forward."""
+    from diffuman4d_tpu.models.unet import UNetConfig
+    from diffuman4d_tpu.parallel.cp_unet import cp_comm_budget
+
+    b = cp_comm_budget(UNetConfig(), num_frames=16, latent_hw=128,
+                       groups=2, n_model=2)
+    assert b["n_3d_layers"] == 11
+    assert b["expected_all_gathers"] == 22
+    by_hw = {}
+    for st in b["stages"]:
+        by_hw[st["stage_hw"]] = by_hw.get(st["stage_hw"], 0) + st["layers"]
+    assert by_hw == {64: 5, 32: 5, 16: 1}
+    # spatial window 16, model=2: ~1.19 GiB received per chip per step
+    assert abs(b["rx_bytes_per_chip_total"] / 2**30 - 1.191) < 0.01

@@ -235,3 +235,58 @@ def test_task_budget_stop_and_resume(setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(ref.grid_latents), np.asarray(s3.grid_latents), atol=2e-5
     )
+
+
+def test_host_mirror_matches_device_grid(setup, tmp_path):
+    """The incrementally maintained host mirror (cheap-checkpoint path,
+    r5: the relay D2H runs ~18 MB/s so full-grid fetches cost ~50 s) must
+    stay bit-identical to the device grid across waves, resumes, and both
+    execution paths."""
+    from diffuman4d_tpu.io.gridstate import read_state
+    from diffuman4d_tpu.parallel.mesh import make_mesh
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    dataset, pipeline = setup
+    out = tmp_path / "mirror"
+
+    def make(budget=None):
+        return SlidingIterativeSampler(
+            dataset, pipeline, output_dir=str(out),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+            input_spa_labels=[0, 3], task_budget=budget,
+            checkpoint_every_tasks=1,
+        )
+
+    s = make(budget=1)
+    s.execute_tasks_parallel(make_mesh(data=1, model=1))
+    # first checkpoint seeded the mirror from device; it must now match
+    assert s._host_mirror is not None
+    np.testing.assert_array_equal(
+        s._host_mirror["latents"], np.asarray(s.grid_latents)
+    )
+
+    # resume: mirror seeds for free from the state file, then waves keep
+    # it fresh; the final round-boundary checkpoint must equal the grid
+    s2 = make()
+    assert s2._host_mirror is not None  # seeded from file bytes
+    s2.execute_tasks_parallel(make_mesh(data=1, model=1))
+    np.testing.assert_array_equal(
+        s2._host_mirror["latents"], np.asarray(s2.grid_latents)
+    )
+    meta, data = read_state(s2._state_path)
+    np.testing.assert_array_equal(
+        np.asarray(data["latents"]), np.asarray(s2.grid_latents)
+    )
+    np.testing.assert_array_equal(np.asarray(data["t_idx"]), s2.grid_t_idx)
+
+    # single-device path keeps the mirror fresh too
+    out2 = tmp_path / "mirror_sd"
+    s3 = SlidingIterativeSampler(
+        dataset, pipeline, output_dir=str(out2),
+        spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+        input_spa_labels=[0, 3], checkpoint_every_tasks=1,
+    )
+    s3.execute_tasks()
+    np.testing.assert_array_equal(
+        s3._host_mirror["latents"], np.asarray(s3.grid_latents)
+    )
