@@ -62,6 +62,10 @@ def main():
     # step fits in). Training perf is conv-light anyway (attention
     # dominates), so default it off here; pass --pallas-conv to A/B.
     ap.add_argument("--pallas-conv", action="store_true")
+    ap.add_argument("--attn", default="train", choices=["train", "bundled"],
+                    help="'train' = the differentiable local Pallas flash "
+                    "family (ops/flash_backward.py, tuned fwd + hand-written "
+                    "dq/dk/dv); 'bundled' = jax's kernel (the r4 baseline)")
     args = ap.parse_args()
     if not args.pallas_conv:
         import os
@@ -77,11 +81,12 @@ def main():
     )
 
     L, hw = args.frames, 128
-    # "bundled": jax's Pallas flash attention ships differentiable backward
-    # kernels; the local v1-v4 kernels are inference-only (no VJP yet) and
-    # the plain XLA path materializes 343 GB of scores at the 3D shapes
+    # "train": the differentiable local Pallas flash family (r5 — the
+    # tuned forwards finally have a hand-written backward); "bundled"
+    # (jax's kernel, ~70 TF/s fwd) remains the A/B baseline. The plain
+    # XLA path materializes 343 GB of scores at the 3D shapes.
     unet = UNetMultiviewCondition(
-        UNetConfig(), dtype=jnp.bfloat16, attn_implementation="bundled"
+        UNetConfig(), dtype=jnp.bfloat16, attn_implementation=args.attn
     )
     key = jax.random.PRNGKey(0)
 
@@ -100,7 +105,8 @@ def main():
     tcfg = TrainConfig(learning_rate=1e-5, remat=True,
                        ema_decay=0.999 if args.ema else 0.0,
                        ema_host=args.ema == "host",
-                       optimizer=args.optimizer)
+                       optimizer=args.optimizer,
+                       attn_implementation=args.attn)
     state = create_train_state(params, tcfg)
     host_ema = None
     if args.ema == "host":
@@ -129,7 +135,8 @@ def main():
     }
 
     ema_suffix = {"": "", "device": "_ema", "host": "_emahost"}[args.ema]
-    tier = args.tag or f"{args.optimizer}{ema_suffix}_f{args.frames}"
+    attn_suffix = "" if args.attn == "train" else f"_{args.attn}"
+    tier = args.tag or f"{args.optimizer}{ema_suffix}{attn_suffix}_f{args.frames}"
 
     def emit(record):
         record = {"tier": tier, **record}

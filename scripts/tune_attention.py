@@ -25,9 +25,13 @@ import time
 
 
 def timed(fn, q, n=10):
-    """Mean seconds per call of ``fn(q)`` executed ``n`` times INSIDE one
-    jitted ``fori_loop`` (iterations chained by a numerically-inert
-    perturbation of q so XLA cannot hoist the body).
+    """Mean seconds per call of ``fn(q, k, v)`` executed ``n`` times INSIDE
+    one jitted ``fori_loop`` (iterations chained by a numerically-inert
+    perturbation of q so XLA cannot hoist the body). ``fn`` MUST take
+    (q, k, v) as arguments: a candidate that closes over the k/v arrays
+    bakes them into the jaxpr as constants, and at the big-batch shapes
+    the serialized compile request then exceeds the relay's body limit
+    (observed: HTTP 413 at 2d@128sq, whose q is 336 MB).
 
     In-graph timing is load-bearing, not a nicety: each host->device
     dispatch through the axon relay costs ~10-35 ms, so an async-dispatch
@@ -41,10 +45,10 @@ def timed(fn, q, n=10):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(q):
+    def run(q, k, v):
         def body(_, carry):
             delta, _ = carry
-            out = fn(q + delta.astype(q.dtype))
+            out = fn(q + delta.astype(q.dtype), k, v)
             # scale by 1e-30: forces the data dependence but the delta
             # vanishes in bf16 addition (and x*1e-30, unlike x*0.0, is
             # not algebraically simplified away)
@@ -58,7 +62,7 @@ def timed(fn, q, n=10):
         return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))[1]
 
     @jax.jit
-    def base(q):  # the perturbation alone, subtracted below
+    def base(q, k, v):  # the perturbation alone, subtracted below
         def body(_, carry):
             delta, _ = carry
             out = q + delta.astype(q.dtype)
@@ -74,11 +78,11 @@ def timed(fn, q, n=10):
         # multi-ms jitter) — comparable to a fast candidate's whole n-loop,
         # so a single sample can invert run-vs-base and crown a garbage
         # winner (observed: a bundled candidate "measured" 1e-9 s)
-        float(f(q).astype(jnp.float32).sum())  # compile + sync
+        float(f(q, q, q).astype(jnp.float32).sum())  # compile + sync
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(q).astype(jnp.float32).sum())
+            float(f(q, q, q).astype(jnp.float32).sum())
             best = min(best, (time.perf_counter() - t0) / n)
         return best
 
@@ -161,16 +165,16 @@ def verify(table_path: str) -> int:
         )
         fn = impl_fns[e["impl"]]
         if e["impl"] == "pallas_v5":  # single-KV-pass: no block_k param
-            dt = timed(lambda qq: fn(qq, q, q, block_q=e["block_q"]), q)
+            dt = timed(lambda qq, kk, vv: fn(qq, kk, vv, block_q=e["block_q"]), q)
         elif e["impl"] == "pallas_v6":
             dt = timed(
-                lambda qq: fn(qq, q, q, block_q=e["block_q"],
-                              block_b=e.get("block_b", 4)), q
+                lambda qq, kk, vv: fn(qq, kk, vv, block_q=e["block_q"],
+                                      block_b=e.get("block_b", 4)), q
             )
         else:
             dt = timed(
-                lambda qq: fn(qq, q, q, block_q=e["block_q"],
-                              block_k=e["block_k"]), q
+                lambda qq, kk, vv: fn(qq, kk, vv, block_q=e["block_q"],
+                                      block_k=e["block_k"]), q
             )
         tf = 4 * e["b"] * e["h"] * e["s"] ** 2 * e["d"] / dt / 1e12
         drift = tf / e["tflops"] - 1.0
@@ -251,23 +255,23 @@ def main():
                 if s % bq == 0 and s % bk == 0 and d <= 128:
                     candidates[f"bundled_{bq}x{bk}"] = (
                         "bundled", bq, bk,
-                        lambda qq, bq=bq, bk=bk: flash_attention_bundled(
-                            qq, q, q, block_q=bq, block_k=bk
+                        lambda qq, kk, vv, bq=bq, bk=bk: flash_attention_bundled(
+                            qq, kk, vv, block_q=bq, block_k=bk
                         ),
                     )
         for bq, bk in ((1024, 512), (2048, 512), (512, 512), (1024, 1024)):
             if s % min(bq, s) == 0 and s % min(bk, s) == 0:
                 candidates[f"v1_{bq}x{bk}"] = (
                     "pallas", bq, bk,
-                    lambda qq, bq=bq, bk=bk: flash_attention(
-                        qq, q, q, block_q=bq, block_k=bk
+                    lambda qq, kk, vv, bq=bq, bk=bk: flash_attention(
+                        qq, kk, vv, block_q=bq, block_k=bk
                     ),
                 )
         if s % 2048 == 0:
             candidates["v2_1024x2048x512"] = (
                 "pallas_v2", 1024, 2048,
-                lambda qq: flash_attention_v2(
-                    qq, q, q, block_q=1024, block_k_major=2048, block_k=512
+                lambda qq, kk, vv: flash_attention_v2(
+                    qq, kk, vv, block_q=1024, block_k_major=2048, block_k=512
                 ),
             )
         for bq, bk in ((2048, 512), (1024, 512), (2048, 1024), (1024, 1024),
@@ -276,14 +280,14 @@ def main():
             if s % min(bq, s) == 0 and s % min(bk, s) == 0 and d <= 128:
                 candidates[f"v3_{bq}x{bk}"] = (
                     "pallas_v3", bq, bk,
-                    lambda qq, bq=bq, bk=bk: flash_attention_v3(
-                        qq, q, q, block_q=bq, block_k=bk
+                    lambda qq, kk, vv, bq=bq, bk=bk: flash_attention_v3(
+                        qq, kk, vv, block_q=bq, block_k=bk
                     ),
                 )
                 candidates[f"v4_{bq}x{bk}"] = (
                     "pallas_v4", bq, bk,
-                    lambda qq, bq=bq, bk=bk: flash_attention_v4(
-                        qq, q, q, block_q=bq, block_k=bk
+                    lambda qq, kk, vv, bq=bq, bk=bk: flash_attention_v4(
+                        qq, kk, vv, block_q=bq, block_k=bk
                     ),
                 )
         # v5 single-KV-pass: whole key sequence in one block; VMEM-bounded
@@ -298,7 +302,7 @@ def main():
             ):
                 candidates[f"v5_{bq}"] = (
                     "pallas_v5", bq, s,
-                    lambda qq, bq=bq: flash_attention_v5(qq, q, q, block_q=bq),
+                    lambda qq, kk, vv, bq=bq: flash_attention_v5(qq, kk, vv, block_q=bq),
                 )
         # v6 = v5 batched over (batch*heads): divides the grid-step count
         # by block_b — targets the 1k-4k-token shapes where per-step fixed
@@ -314,12 +318,12 @@ def main():
                 ):
                     candidates[f"v6_{bq}b{bb}"] = (
                         "pallas_v6", bq, s,
-                        lambda qq, bq=bq, bb=bb: flash_attention_v6(
-                            qq, q, q, block_q=bq, block_b=bb
+                        lambda qq, kk, vv, bq=bq, bb=bb: flash_attention_v6(
+                            qq, kk, vv, block_q=bq, block_b=bb
                         ),
                     )
         if b * h * s * s * 4 < 6 * 2**30:  # fp32 score matrix must fit in HBM
-            candidates["xla"] = ("xla", 0, 0, lambda qq: _xla_attention(qq, q, q))
+            candidates["xla"] = ("xla", 0, 0, lambda qq, kk, vv: _xla_attention(qq, kk, vv))
 
         excluded = sorted(set(candidates) & set(EXCLUDED_CANDIDATES))
         for c in excluded:
