@@ -93,9 +93,19 @@ def main() -> None:
         target_pixels=False,  # generation never reads target images
         skeletons_uint8=True,  # device-side [-1,1] normalize
     )
+    # Cache budgets sized for THIS workload's reuse, not the defaults
+    # (3072/512/1536 MB): within a spatial round every (cam, frame) cell
+    # is visited exactly once, so big skeleton/pixel caches are pure HBM
+    # pressure that fills over ~20 tasks and OOMed the first >16-task
+    # session (r5, task ~30: RESOURCE_EXHAUSTED in wave prep). Temporal
+    # rounds reuse only the 4 input-camera tracks (pix cache) and stream
+    # skeletons per chunk anyway. pose_cache stays >= one spatial task's
+    # whole-sequence features (48 rows x 10.5 MB) so the materialize
+    # path keeps serving the spatial rounds.
     pipeline = Diffuman4DPipeline(
         unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,
         sliding=SlidingConfig(sliding_stride=2), image_size=args.size,
+        skel_cache_mb=512, pix_cache_mb=192, pose_cache_mb=640,
     )
     sampler = SlidingIterativeSampler(
         dataset, pipeline, output_dir=args.out,
