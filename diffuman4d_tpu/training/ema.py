@@ -65,8 +65,10 @@ class HostEMA:
                 f"{len(self.shadow)} in the shadow"
             )
         for leaf in leaves:
-            leaf.copy_to_host_async()
-        self._staged = leaves
+            try:
+                leaf.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — backend may not support it;
+                break  # fold()'s np.asarray then pays the sync transfer
 
     def fold(self) -> None:
         """Fold the staged params into the shadow (blocks on the D2H)."""
