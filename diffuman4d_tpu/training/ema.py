@@ -69,6 +69,7 @@ class HostEMA:
                 leaf.copy_to_host_async()
             except Exception:  # noqa: BLE001 — backend may not support it;
                 break  # fold()'s np.asarray then pays the sync transfer
+        self._staged = leaves
 
     def fold(self) -> None:
         """Fold the staged params into the shadow (blocks on the D2H)."""
