@@ -63,13 +63,22 @@ class SlidingIterativeSampler:
         checkpoint_rounds: bool = True,
         checkpoint_every_tasks: int = 24,
         task_budget: int | None = None,
+        time_budget_s: float | None = None,
     ):
         # task_budget: stop (cleanly) after this many tasks in THIS
         # invocation, saving an intra-round grid_state for resume — lets a
         # long demo_4d run be split across bounded sessions/restarts. The
         # count is deterministic across hosts (same wave sizes), so every
         # process takes the stop branch together.
+        #
+        # time_budget_s: additionally stop after the first task that
+        # completes past this wall-clock budget (measured from execute
+        # start). SINGLE-PROCESS ONLY: a clock-based branch is not
+        # deterministic across hosts, so multi-host runs must size
+        # sessions with task_budget instead (enforced at execute time).
         self.task_budget = task_budget
+        self.time_budget_s = time_budget_s
+        self._exec_t0: float | None = None
         self._tasks_run = 0
         self.checkpoint_rounds = checkpoint_rounds
         # intra-round checkpoint cadence (0 = rounds only). Task-count
@@ -227,6 +236,18 @@ class SlidingIterativeSampler:
             return
         for name, val in updates.items():
             self._host_mirror[name][spa, tem] = self._to_host_bits(val)
+
+    def _budget_out(self) -> bool:
+        """True when this invocation should stop cleanly after the current
+        task/wave: task_budget tasks executed, or wall clock past
+        time_budget_s (single-process only; enforced at execute start)."""
+        if self.task_budget is not None and self._tasks_run >= self.task_budget:
+            return True
+        return (
+            self.time_budget_s is not None
+            and self._exec_t0 is not None
+            and time.perf_counter() - self._exec_t0 > self.time_budget_s
+        )
 
     def save_state(self, tasks_done: int = 0) -> None:
         """Persist the grid. ``tasks_done`` > 0 marks an intra-round
@@ -737,6 +758,13 @@ class SlidingIterativeSampler:
 
         n_wave = mesh.shape["data"]
         multi = jax.process_count() > 1
+        self._exec_t0 = time.perf_counter()
+        if multi and self.time_budget_s is not None:
+            raise ValueError(
+                "time_budget_s is single-process only (a clock-based stop "
+                "branch is not deterministic across hosts); size multi-host "
+                "sessions with task_budget instead"
+            )
         my_rows = set(local_data_rows(mesh)) if multi else None
         if multi:
             # the denoise jit mixes params with global arrays; params must
@@ -930,10 +958,7 @@ class SlidingIterativeSampler:
                 # tasks (wave-count cadence: deterministic across hosts)
                 done = i + n_real
                 self._tasks_run += n_real
-                budget_out = (
-                    self.task_budget is not None
-                    and self._tasks_run >= self.task_budget
-                )
+                budget_out = self._budget_out()
                 if (
                     self.checkpoint_rounds
                     and self.checkpoint_every_tasks > 0
@@ -952,9 +977,10 @@ class SlidingIterativeSampler:
                         self.save_state(tasks_done=done)
                 if budget_out and done < len(tasks):
                     log.info(
-                        "task budget (%d) reached at round %d task %d/%d — "
-                        "state saved, stopping for resume",
-                        self.task_budget, round_idx + 1, done, len(tasks),
+                        "budget (tasks=%s, time=%ss) reached at round %d "
+                        "task %d/%d — state saved, stopping for resume",
+                        self.task_budget, self.time_budget_s,
+                        round_idx + 1, done, len(tasks),
                     )
                     return
             self._flush_saves()
@@ -962,14 +988,11 @@ class SlidingIterativeSampler:
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
-            if (
-                self.task_budget is not None
-                and self._tasks_run >= self.task_budget
-                and round_idx + 1 < len(self.all_tasks)
-            ):
+            if self._budget_out() and round_idx + 1 < len(self.all_tasks):
                 log.info(
-                    "task budget (%d) reached at round %d boundary — "
-                    "stopping for resume", self.task_budget, round_idx + 1,
+                    "budget (tasks=%s, time=%ss) reached at round %d "
+                    "boundary — stopping for resume",
+                    self.task_budget, self.time_budget_s, round_idx + 1,
                 )
                 return
         if multi:
@@ -1031,6 +1054,7 @@ class SlidingIterativeSampler:
         boundaries is exact."""
         from concurrent.futures import ThreadPoolExecutor
 
+        self._exec_t0 = time.perf_counter()
         todo: list[tuple[int, int, Task]] = []
         for round_idx, tasks in enumerate(self.all_tasks):
             if round_idx < self._completed_rounds:
@@ -1059,10 +1083,7 @@ class SlidingIterativeSampler:
                 )
                 done = task_idx + 1
                 self._tasks_run += 1
-                budget_out = (
-                    self.task_budget is not None
-                    and self._tasks_run >= self.task_budget
-                )
+                budget_out = self._budget_out()
                 if done == len(self.all_tasks[round_idx]):
                     self._flush_saves()
                     self._completed_rounds = round_idx + 1
@@ -1080,9 +1101,10 @@ class SlidingIterativeSampler:
                     len(self.all_tasks) - 1, len(self.all_tasks[-1])
                 ):
                     log.info(
-                        "task budget (%d) reached at round %d task %d/%d — "
-                        "state saved, stopping for resume",
-                        self.task_budget, round_idx + 1, done,
+                        "budget (tasks=%s, time=%ss) reached at round %d "
+                        "task %d/%d — state saved, stopping for resume",
+                        self.task_budget, self.time_budget_s,
+                        round_idx + 1, done,
                         len(self.all_tasks[round_idx]),
                     )
                     return

@@ -28,8 +28,17 @@ for i in $(seq 1 "$MAX"); do
   log="$OUTDIR/session_$(printf %02d "$i").log"
   echo "[chain] session $i starting (budget $BUDGET) at $(date -u +%H:%M:%S)"
   t0=$(date +%s)
+  # with a deadline set, also bound the session by wall clock so the LAST
+  # session stops cleanly (state saved) instead of running past the
+  # deadline on task-budget arithmetic
+  tb_args=()
+  if [ "$DEADLINE" -gt 0 ]; then
+    tb=$((DEADLINE - t0 - 120))
+    [ "$tb" -lt 300 ] && tb=300
+    tb_args=(--time-budget "$tb")
+  fi
   timeout 21000 python scripts/demo4d_prefix.py \
-    --task-budget "$BUDGET" --checkpoint-every 8 >"$log" 2>&1
+    --task-budget "$BUDGET" --checkpoint-every 8 "${tb_args[@]}" >"$log" 2>&1
   rc=$?
   t1=$(date +%s)
   tail -4 "$log" | sed "s/^/[chain][s$i] /"
@@ -60,7 +69,7 @@ EOF
     # broken state doesn't burn the whole budget
     echo "[chain] session $i failed rc=$rc — retrying once"
     if ! timeout 21000 python scripts/demo4d_prefix.py \
-        --task-budget "$BUDGET" --checkpoint-every 8 >"$log.retry" 2>&1; then
+        --task-budget "$BUDGET" --checkpoint-every 8 "${tb_args[@]}" >"$log.retry" 2>&1; then
       echo "[chain] retry failed too — stopping; see $log.retry"
       break
     fi

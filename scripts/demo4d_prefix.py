@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/d4d_4d_prefix_out")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--task-budget", type=int, default=24)
+    ap.add_argument("--time-budget", type=float, default=None,
+                    help="wall-clock budget in seconds: stop cleanly after "
+                    "the first task that finishes past it (single-process)")
     ap.add_argument("--checkpoint-every", type=int, default=24,
                     help="intra-round grid-state cadence in tasks")
     ap.add_argument("--report", action="store_true",
@@ -112,6 +115,7 @@ def main() -> None:
         spa_label_range=(0, 48, 1), tem_label_range=(0, 150, 1),
         input_spa_labels=[1, 13, 25, 37],
         task_budget=None if args.report else args.task_budget,
+        time_budget_s=None if args.report else args.time_budget,
         checkpoint_every_tasks=args.checkpoint_every,
     )
     done_rounds = sampler._completed_rounds

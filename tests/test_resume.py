@@ -237,6 +237,48 @@ def test_task_budget_stop_and_resume(setup, tmp_path):
     )
 
 
+def test_time_budget_stop_and_resume(setup, tmp_path):
+    """time_budget_s stops cleanly after the first task past the wall
+    budget (0.0 => after the very first task), state saved; an unbudgeted
+    resume reproduces the full run bit-for-bit. Single-process only —
+    multi-host sessions must use task_budget (clock branches diverge)."""
+    from diffuman4d_tpu.parallel.mesh import make_mesh
+    from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+    dataset, pipeline = setup
+    ref = _make_sampler(dataset, pipeline, tmp_path / "full_wb")
+    ref.execute_tasks()
+
+    out = tmp_path / "run_wb"
+
+    def make(**kw):
+        return SlidingIterativeSampler(
+            dataset, pipeline, output_dir=str(out),
+            spa_label_range=(0, 6, 1), tem_label_range=(0, 2, 1),
+            input_spa_labels=[0, 3], **kw,
+        )
+
+    s = make(time_budget_s=0.0)  # out of time after the first task
+    s.execute_tasks()
+    assert s._tasks_run == 1
+    del s
+
+    s = make(time_budget_s=0.0)
+    s.execute_tasks_parallel(make_mesh(data=1, model=1))  # one wave, then stop
+    assert s._tasks_run >= 1
+    first_stop = s._tasks_run
+    total = sum(len(r) for r in ref.all_tasks)
+    assert first_stop < total
+    del s
+
+    s = make()  # no budget: finish
+    s.execute_tasks_parallel(make_mesh(data=1, model=1))
+    np.testing.assert_array_equal(ref.grid_t_idx, s.grid_t_idx)
+    np.testing.assert_allclose(
+        np.asarray(ref.grid_latents), np.asarray(s.grid_latents), atol=2e-5
+    )
+
+
 def test_host_mirror_matches_device_grid(setup, tmp_path):
     """The incrementally maintained host mirror (cheap-checkpoint path,
     r5: the relay D2H runs ~18 MB/s so full-grid fetches cost ~50 s) must
