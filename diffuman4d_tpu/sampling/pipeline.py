@@ -62,6 +62,14 @@ class SlidingConfig:
     num_denoising_steps: int = 1
     alternation_rounds: int = 3
     guidance_scale: float = 2.0
+    # Domains whose CFG halves run as a sequential lax.map over two UNet
+    # forwards of batch L instead of one fused batch-2L call. Identical
+    # math (the halves share no state); halves the UNet live-set. The
+    # demo_4d temporal wave program needs this on a single v5e: fused CFG
+    # batch 48 compiles to temp 12.43 GB (+2.07 GB args) and OOMs next to
+    # params + the 300-row skeleton stack (measured,
+    # scripts/probe_temporal_mem.py, r5).
+    split_cfg_domains: tuple = ()
 
     @property
     def do_cfg(self) -> bool:
@@ -565,28 +573,22 @@ class Diffuman4DPipeline:
         x = jnp.where(sel, cond_w["pix_latents"], x)
 
         plucker = cond_w["plucker"]
+        pose_features = cond_w.get("pose_features")
+        skel_lat = cond_w.get("skeleton_latents")
+        # negative half: white latents on cond rows, grey plucker, black
+        # skeleton features (:349-356, 384-386)
+        neg = None
         if do_cfg:
-            # negative half: white latents on cond rows, grey plucker,
-            # black skeleton features (:349-356, 384-386)
-            x_neg = jnp.where(sel, jnp.ones_like(x), x)
-            x = jnp.concatenate([x_neg, x])
-            plucker = jnp.concatenate([jnp.zeros_like(plucker), plucker])
-            t = jnp.concatenate([t, t])
-
-        parts = [x, plucker]
-        pose_features = None
-        if "pose_features" in cond_w:
-            pose_features = cond_w["pose_features"]
-            if do_cfg:
-                neg = jnp.broadcast_to(
+            neg = dict(
+                x=jnp.where(sel, jnp.ones_like(x), x),
+                plucker=jnp.zeros_like(plucker),
+            )
+            if pose_features is not None:
+                neg["pose"] = jnp.broadcast_to(
                     cond_w["neg_pose_feature"], pose_features.shape
                 )
-                pose_features = jnp.concatenate([neg, pose_features])
-        elif "skeleton_latents" in cond_w:
-            sk = cond_w["skeleton_latents"]
-            if do_cfg:
-                sk = jnp.concatenate([-jnp.ones_like(sk), sk])
-            parts.append(sk)
+            if skel_lat is not None:
+                neg["skel"] = -jnp.ones_like(skel_lat)
 
         # the reference's cond-mask image is constant per frame; a broadcast
         # plane is exact (cond_masks nearest-resize, :242-249)
@@ -594,27 +596,69 @@ class Diffuman4DPipeline:
         mask_plane = jnp.broadcast_to(
             (~is_cond).astype(dtype)[:, None, None, None], (L, h, w, 1)
         )
-        if do_cfg:
-            mask_plane = jnp.concatenate([mask_plane, mask_plane])
-        parts.append(mask_plane)
-        net_in = jnp.concatenate(parts, axis=-1)
-
         # temporal embedding indices: zeros (spatial) / tile(arange(L/2), 2)
         # per CFG half (unet_multiview_condition.py:527-546)
         if domain == "temporal":
             tem = jnp.tile(jnp.arange(L // 2, dtype=jnp.int32), 2)
         else:
             tem = jnp.zeros((L,), jnp.int32)
-        if do_cfg:
-            tem = jnp.concatenate([tem, tem])
 
-        eps = self._unet_fwd(
-            unet_params, net_in, t, tem, L, pose_features=pose_features
-        )
+        def eps_of(xh, pluckerh, poseh, skelh):
+            parts = [xh, pluckerh]
+            if skelh is not None:
+                parts.append(skelh)
+            parts.append(mask_plane)
+            return self._unet_fwd(
+                unet_params, jnp.concatenate(parts, axis=-1), t, tem, L,
+                pose_features=poseh,
+            )
 
-        if do_cfg:
+        if do_cfg and domain in self.sliding.split_cfg_domains:
+            # sequential halves: one UNet live-set (batch L) at a time
+            # instead of the fused batch-2L program (see SlidingConfig.
+            # split_cfg_domains for the measured HBM numbers)
+            def half(args):
+                return eps_of(
+                    args["x"], args["plucker"],
+                    args.get("pose"), args.get("skel"),
+                )
+
+            pos = dict(x=x, plucker=plucker)
+            if pose_features is not None:
+                pos["pose"] = pose_features
+            if skel_lat is not None:
+                pos["skel"] = skel_lat
+            stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), neg, pos)
+            eps_pair = jax.lax.map(half, stacked)
+            eps_u, eps_c = eps_pair[0], eps_pair[1]
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+        elif do_cfg:
+            x2 = jnp.concatenate([neg["x"], x])
+            plucker2 = jnp.concatenate([neg["plucker"], plucker])
+            pose2 = (
+                jnp.concatenate([neg["pose"], pose_features])
+                if pose_features is not None else None
+            )
+            skel2 = (
+                jnp.concatenate([neg["skel"], skel_lat])
+                if skel_lat is not None else None
+            )
+            t2 = jnp.concatenate([t, t])
+            tem2 = jnp.concatenate([tem, tem])
+            mask2 = jnp.concatenate([mask_plane, mask_plane])
+
+            parts = [x2, plucker2]
+            if skel2 is not None:
+                parts.append(skel2)
+            parts.append(mask2)
+            eps = self._unet_fwd(
+                unet_params, jnp.concatenate(parts, axis=-1), t2, tem2, L,
+                pose_features=pose2,
+            )
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            eps = eps_of(x, plucker, pose_features, skel_lat)
 
         if scheduler.has_aux:
             new_latents, aux_w = scheduler.step_with_aux(

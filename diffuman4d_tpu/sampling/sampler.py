@@ -988,6 +988,20 @@ class SlidingIterativeSampler:
             self.validate_grid(self._completed_rounds)
             if self.checkpoint_rounds:
                 self.save_state()
+            # domain switch: drop the finished round's device condition
+            # caches. The next domain's first program is the HBM peak (the
+            # temporal wave is CFG batch 48 vs spatial 32) and ~1.3 GB of
+            # stale spatial entries pushed it over the single-chip fit
+            # (r5 chain session 5: RESOURCE_EXHAUSTED at the first temporal
+            # dispatch; a fresh process with empty caches fits).
+            nxt = round_idx + 1
+            if (
+                nxt < len(self.all_tasks)
+                and self.all_tasks[nxt]
+                and tasks
+                and self.all_tasks[nxt][0].domain != tasks[0].domain
+            ):
+                self.pipeline.clear_condition_caches()
             if self._budget_out() and round_idx + 1 < len(self.all_tasks):
                 log.info(
                     "budget (tasks=%s, time=%ss) reached at round %d "
@@ -1090,6 +1104,16 @@ class SlidingIterativeSampler:
                     self.validate_grid(self._completed_rounds)
                     if self.checkpoint_rounds:
                         self.save_state()
+                    # domain switch: free the finished round's device
+                    # condition caches before the next domain's HBM peak
+                    # (see _execute_waves round boundary for the OOM record)
+                    if (
+                        round_idx + 1 < len(self.all_tasks)
+                        and self.all_tasks[round_idx + 1]
+                        and self.all_tasks[round_idx + 1][0].domain
+                        != task.domain
+                    ):
+                        self.pipeline.clear_condition_caches()
                 elif (
                     self.checkpoint_rounds
                     and self.checkpoint_every_tasks > 0

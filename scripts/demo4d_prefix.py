@@ -107,7 +107,14 @@ def main() -> None:
     # path keeps serving the spatial rounds.
     pipeline = Diffuman4DPipeline(
         unet, vae, Scheduler(SchedulerConfig(kind="ddim")), params,
-        sliding=SlidingConfig(sliding_stride=2), image_size=args.size,
+        # temporal CFG halves run sequentially (lax.map): the fused
+        # batch-48 wave program is temp 12.43 GB + args 2.07 GB and OOMs a
+        # single v5e next to params + the 300-row skeleton stack (measured,
+        # scripts/probe_temporal_mem.py; r5 chain session 5 failure)
+        sliding=SlidingConfig(
+            sliding_stride=2, split_cfg_domains=("temporal",)
+        ),
+        image_size=args.size,
         skel_cache_mb=512, pix_cache_mb=192, pose_cache_mb=640,
     )
     sampler = SlidingIterativeSampler(

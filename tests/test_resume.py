@@ -279,6 +279,30 @@ def test_time_budget_stop_and_resume(setup, tmp_path):
     )
 
 
+def test_condition_caches_cleared_on_domain_switch(setup, tmp_path):
+    """Round boundaries that switch domain must drop the device condition
+    caches: the next domain's first program is the HBM peak (temporal CFG
+    batch 48 vs spatial 32) and ~1.3 GB of stale spatial entries OOMed the
+    real chip at the first temporal dispatch (r5 chain session 5)."""
+    from diffuman4d_tpu.parallel.mesh import make_mesh
+
+    dataset, pipeline = setup
+    calls = []
+    orig = pipeline.clear_condition_caches
+    pipeline.clear_condition_caches = lambda: (calls.append(1), orig())[1]
+    try:
+        # alternation_rounds=2: spatial -> temporal, exactly 1 domain switch
+        s = _make_sampler(dataset, pipeline, tmp_path / "sw_seq")
+        s.execute_tasks()
+        assert len(calls) == 1
+        calls.clear()
+        s = _make_sampler(dataset, pipeline, tmp_path / "sw_par")
+        s.execute_tasks_parallel(make_mesh(data=1, model=1))
+        assert len(calls) == 1
+    finally:
+        pipeline.clear_condition_caches = orig
+
+
 def test_host_mirror_matches_device_grid(setup, tmp_path):
     """The incrementally maintained host mirror (cheap-checkpoint path,
     r5: the relay D2H runs ~18 MB/s so full-grid fetches cost ~50 s) must

@@ -157,6 +157,35 @@ class TestEndToEnd:
         files = glob.glob(str(tmp_path / "out" / "images" / "**" / "*.jpg"))
         assert len(files) == 6 * 4
 
+    def test_split_cfg_matches_fused(self, tiny_setup, tmp_path):
+        """split_cfg_domains runs the CFG halves as a sequential lax.map
+        (one batch-L UNet live-set at a time — the demo_4d temporal wave
+        needs this to fit a single v5e, scripts/probe_temporal_mem.py);
+        the math is identical to the fused batch-2L call, so the final
+        grids must match."""
+        from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
+
+        dataset, make_pipeline, SlidingConfig = tiny_setup
+
+        def run(split, out):
+            sliding = SlidingConfig(
+                window_size=2, alternation_rounds=2, guidance_scale=2.0,
+                split_cfg_domains=(
+                    ("spatial", "temporal") if split else ()
+                ),
+            )
+            s = SlidingIterativeSampler(
+                dataset, make_pipeline(sliding), output_dir=str(out),
+                spa_label_range=(0, 6, 1), tem_label_range=(0, 4, 1),
+                input_spa_labels=[0, 3],
+            )
+            s.execute_tasks()
+            return np.asarray(s.grid_latents)
+
+        fused = run(False, tmp_path / "fused")
+        split = run(True, tmp_path / "split")
+        np.testing.assert_allclose(fused, split, atol=1e-5, rtol=1e-5)
+
     def test_schedule_invariant_violation_raises(self, tiny_setup, tmp_path):
         from diffuman4d_tpu.sampling.sampler import SlidingIterativeSampler
 
