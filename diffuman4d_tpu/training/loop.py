@@ -67,7 +67,10 @@ def train(pipeline, batcher, loop_cfg: LoopConfig, train_cfg=None, mesh=None):
     if train_cfg.ema_decay and train_cfg.ema_host:
         from diffuman4d_tpu.training.ema import HostEMA
 
-        host_ema = HostEMA(state.params["params"], train_cfg.ema_decay)
+        host_ema = HostEMA(
+            state.params["params"], train_cfg.ema_decay,
+            update_every=getattr(train_cfg, "ema_update_every", 1),
+        )
 
     # resume: restore the FULL train state (params + optimizer moments +
     # step + EMA) from the newest state checkpoint, if any

@@ -60,6 +60,12 @@ class TrainConfig:
     # (training.ema.HostEMA) — the single-chip fit for ema_decay>0 at the
     # 12-frame window; the device train step then carries no EMA state
     ema_host: bool = False
+    # spaced host-EMA updates: stage/fold every k-th step with the
+    # d^k-corrected decay (training.ema.HostEMA update_every). On hosts
+    # with slow D2H (this environment's relay moves the 3.23 GB shadow at
+    # ~20 MB/s => ~160 s/step per-step staging, TRAIN_r05 ema tier) this
+    # is the difference between EMA costing ~0 and dominating the step
+    ema_update_every: int = 1
     # attention implementation for the training forward/backward. "train"
     # = the differentiable Pallas kernel family (ops/flash_backward.py:
     # tuned transposed-score forward + hand-written dq/dk/dv — the

@@ -141,6 +141,11 @@ def main() -> None:
         optimizer="adafactor",
         ema_decay=0.999,
         ema_host=True,  # the single-chip EMA tier (training/ema.py)
+        # spaced staging: this environment's relay moves the 3.23 GB fp32
+        # shadow at ~20 MB/s, so per-step staging costs ~160 s/step
+        # (measured, /tmp/train_block/loss_run1.log r5) — the d^k-corrected
+        # every-25 update keeps EMA active at ~0.26 s/step amortized
+        ema_update_every=25,
         remat=True,
     )
     lcfg = LoopConfig(
