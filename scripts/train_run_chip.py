@@ -65,6 +65,7 @@ def summarize(out_dir: str) -> dict:
         "loss_series_every10": [
             round(r["loss"], 4) for r in recs if r["step"] % 10 == 0
         ][:60],
+        "domains_logged": sorted({r.get("domain", "?") for r in recs}),
         "state_checkpoints": states,
     }
 
@@ -153,7 +154,9 @@ def main() -> None:
         batch_size=1,
         window_size=args.frames,
         checkpoint_every=args.checkpoint_every,
-        log_every=2,
+        # odd stride: an even log_every aliases with the 2-domain
+        # alternation and only ever logs spatial steps (r5 loss run 1)
+        log_every=3,
         out_dir=args.out,
     )
     t1 = time.perf_counter()
