@@ -37,6 +37,14 @@ def main() -> None:
                         "round3_spatial": 150},
         "sessions": sessions,
         "process_restarts": max(0, len(sessions) - 1),
+        "notes": [
+            "Each session is a fresh process resuming from the last "
+            "grid-state checkpoint (deliberate-restart resume proof).",
+            "r5 chain A session 5 (rc=1) is the temporal-wave OOM: the "
+            "fused CFG batch-48 program needs 14.54 GB alone "
+            "(docs/TEMPORAL_WAVE_MEM.md); chain B runs the temporal round "
+            "with split_cfg_domains=('temporal',) after the fix.",
+        ],
     }
 
     state = osp.join(args.outdir, "state", "grid_state.d4d")
