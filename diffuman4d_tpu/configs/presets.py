@@ -67,6 +67,11 @@ class SamplerConfig:
     seed: int = 0
     save_debug_grids: bool = False
     tasks_per_wave: int = 0  # 0 = one task per device
+    # domains whose CFG halves run as a sequential lax.map (halved UNet
+    # live-set; identical math). "temporal" is required for the demo_4d
+    # wave path on a single 16 GB chip — the fused batch-48 program alone
+    # needs 14.54 GB (docs/TEMPORAL_WAVE_MEM.md)
+    split_cfg_domains: list = field(default_factory=lambda: ["temporal"])
 
 
 @dataclass

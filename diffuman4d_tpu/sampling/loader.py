@@ -35,6 +35,7 @@ def sliding_from(cfg: SamplerConfig) -> SlidingConfig:
         num_denoising_steps=cfg.num_denoising_steps,
         alternation_rounds=cfg.alternation_rounds,
         guidance_scale=cfg.guidance_scale,
+        split_cfg_domains=tuple(cfg.split_cfg_domains or ()),
     )
 
 
