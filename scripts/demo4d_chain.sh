@@ -15,9 +15,11 @@ set -u
 BUDGET=${1:-24}
 MAX=${2:-40}
 DEADLINE=${3:-0}   # 0 = no deadline
-OUTDIR=/tmp/demo4d_chain
-mkdir -p "$OUTDIR"
+# runs/ lives inside the repo checkout: /tmp is wiped on machine resets
+# (learned 2026-08-20: a reset mid-chain destroyed the round-1 grid state)
 cd "$(dirname "$0")/.."
+OUTDIR=runs/demo4d_chain
+mkdir -p "$OUTDIR"
 
 for i in $(seq 1 "$MAX"); do
   now=$(date +%s)
@@ -57,7 +59,7 @@ m = re.search(r'\{"phases": .*\}', txt)
 if m:
     rec["phases"] = json.loads(m.group(0))["phases"]
 rec["complete"] = "SAMPLING COMPLETE" in txt
-with open("/tmp/demo4d_chain/sessions.jsonl", "a") as f:
+with open("runs/demo4d_chain/sessions.jsonl", "a") as f:
     f.write(json.dumps(rec) + "\n")
 EOF
   if grep -q "SAMPLING COMPLETE" "$log"; then

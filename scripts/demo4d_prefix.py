@@ -28,7 +28,8 @@ import os.path as osp
 import sys
 import time
 
-sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> None:
@@ -43,7 +44,7 @@ def main() -> None:
     )
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None)
-    ap.add_argument("--out", default="/tmp/d4d_4d_prefix_out")
+    ap.add_argument("--out", default=osp.join(REPO, "runs", "d4d_4d_prefix_out"))
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--task-budget", type=int, default=24)
     ap.add_argument("--time-budget", type=float, default=None,
@@ -55,7 +56,7 @@ def main() -> None:
                     help="skip sampling; dump progress + run metrics/export")
     args = ap.parse_args()
     if args.scene is None:
-        args.scene = f"/tmp/d4d_4d_scene_{args.size}"
+        args.scene = osp.join(REPO, "runs", f"d4d_4d_scene_{args.size}")
 
     from diffuman4d_tpu.utils.jax_setup import setup
 

@@ -1,6 +1,6 @@
 """Roll up the chained demo_4d sessions into docs/DEMO4D_r05.json
 (VERDICT r4 #1 artifact): per-session wall/tasks/phases from
-/tmp/demo4d_chain/sessions.jsonl, grid progress from the live
+runs/demo4d_chain/sessions.jsonl, grid progress from the live
 grid_state, and output coverage from the images tree.
 
 Usage: python scripts/demo4d_report.py [--out docs/DEMO4D_r05.json]
@@ -19,8 +19,8 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sessions", default="/tmp/demo4d_chain/sessions.jsonl")
-    ap.add_argument("--outdir", default="/tmp/d4d_4d_prefix_out")
+    ap.add_argument("--sessions", default="runs/demo4d_chain/sessions.jsonl")
+    ap.add_argument("--outdir", default="runs/d4d_4d_prefix_out")
     ap.add_argument("--out", default="docs/DEMO4D_r05.json")
     args = ap.parse_args()
 

@@ -35,7 +35,8 @@ import os.path as osp
 import sys
 import time
 
-sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def summarize(out_dir: str) -> dict:
@@ -77,7 +78,7 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--checkpoint-every", type=int, default=60)
-    ap.add_argument("--out", default="/tmp/d4d_train_run")
+    ap.add_argument("--out", default=osp.join(REPO, "runs", "d4d_train_run"))
     ap.add_argument("--scene", default=None)
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
@@ -85,7 +86,7 @@ def main() -> None:
         print(json.dumps(summarize(args.out)))
         return
     if args.scene is None:
-        args.scene = f"/tmp/d4d_train_scene_{args.size}"
+        args.scene = osp.join(REPO, "runs", f"d4d_train_scene_{args.size}")
 
     import logging
 
